@@ -1,0 +1,173 @@
+"""Headline benchmark: end-to-end incremental SfM frames/s on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+
+Workload: a rendered 10-view sequence at the reference demo's working
+resolution and parameters (2500 keypoints, 3 pyramid levels x1.1, ratio 0.85,
+5,967 RANSAC hypotheses — reference main.py:19-30, Runner.py:170).
+
+``vs_baseline`` is measured, not assumed: the reference implementation at
+/root/reference runs the same workload's hot stages on this host's CPU
+(timeboxed — its RANSAC loop is extrapolated from a 40-iteration sample, its
+per-pair cost from one pair), giving reference frames/s to divide by. If the
+reference cannot run here, vs_baseline falls back to 0.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_sequence(num_views, hw=(360, 480), num_points=600):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.render import render_sequence, write_sequence
+
+    rng = np.random.default_rng(7)
+    images, K, poses, X = render_sequence(
+        rng, num_views=num_views, num_points=num_points, img_hw=hw, f=520.0
+    )
+    d = tempfile.mkdtemp(prefix="bench_seq_")
+    write_sequence(d, images)
+    return d, K, images
+
+
+def engine_config():
+    from sfmfromscratch_tpu.config import (
+        BundleAdjustConfig,
+        ExtractorConfig,
+        MatcherConfig,
+        PipelineConfig,
+        RansacConfig,
+    )
+
+    # Reference demo parameters (main.py:19-30).
+    return PipelineConfig(
+        extractor=ExtractorConfig(
+            num_interest_points=2500, ksize=3, gaussian_size=7, sigma=6.0,
+            alpha=0.05, feature_width=18, pyramid_level=3, pyramid_scale_factor=1.1,
+        ),
+        matcher=MatcherConfig(ratio_threshold=0.85, max_matches=2500),
+        ransac=RansacConfig(),   # -> 5,967 hypotheses
+        ba=BundleAdjustConfig(),
+        scale_factor=1.0,
+    )
+
+
+def run_ours(num_views=10):
+    from sfmfromscratch_tpu.pipeline.incremental import SfmEngine
+
+    seq_dir, K, _ = build_sequence(num_views)
+    cfg = engine_config()
+
+    # Warm-up on a 3-view prefix: every stage compiles at the same static
+    # shapes the full run uses, so the timed run measures steady-state compute.
+    log("bench: warm-up (compiles)...")
+    SfmEngine(seq_dir, 3, config=cfg, single_K=K)
+
+    log("bench: timed run...")
+    t0 = time.time()
+    eng = SfmEngine(seq_dir, num_views, config=cfg, single_K=K)
+    wall = time.time() - t0
+    fps = num_views / wall
+    log(f"bench: ours {wall:.2f}s for {num_views} views = {fps:.3f} frames/s; "
+        f"stages: " + ", ".join(f"{k}={v:.2f}s" for k, v in eng.stage_times.items()))
+    log(f"bench: reproj err before/after BA: {eng.errors_before_after_ba}")
+    return fps, eng
+
+
+def run_reference_baseline(num_views=10):
+    """Measure the reference's per-frame cost on this host (timeboxed)."""
+    seq_dir, K, images = build_sequence(2)  # one pair suffices for timing
+    ref_dir = "/root/reference"
+    if not os.path.isdir(ref_dir):
+        return 0.0
+    sys.path.insert(0, ref_dir)
+    try:
+        from FeatureExtractor.SIFT.ScaleRotInvSIFT import ScaleRotInvSIFT
+        from FeatureMatcher.NNRatioFeatureMatcher import NNRatioFeatureMatcher
+        from SFM import CameraPose
+
+        params = dict(
+            num_interest_points=2500, ksize=3, gaussian_size=7, sigma=6,
+            alpha=0.05, feature_width=18, pyramid_level=3, pyramid_scale_factor=1.1,
+        )
+        g1 = images[0].astype(np.float32)
+        g2 = images[1].astype(np.float32)
+
+        t0 = time.time()
+        e1 = ScaleRotInvSIFT(g1, params)
+        x1, y1 = e1.detect_keypoints()
+        d1 = e1.extract_descriptors()
+        t_extract = time.time() - t0
+
+        t0 = time.time()
+        e2 = ScaleRotInvSIFT(g2, params)
+        x2, y2 = e2.detect_keypoints()
+        d2 = e2.extract_descriptors()
+        t_extract = 0.5 * (t_extract + time.time() - t0)
+
+        t0 = time.time()
+        matches, conf = NNRatioFeatureMatcher(0.85).match_features_ratio_test(d1, d2)
+        t_match = time.time() - t0
+
+        m = matches[:2500]
+        p1 = np.column_stack([x1[m[:, 0]], y1[m[:, 0]]]).astype(np.float64)
+        p2 = np.column_stack([x2[m[:, 1]], y2[m[:, 1]]]).astype(np.float64)
+
+        # RANSAC: run 40 iterations, extrapolate to 5,967 (reference loop cost
+        # is linear in iterations, SFM.py:47-101).
+        sample_iters = 40
+        cp = CameraPose(p1, p2, K, K)
+        t0 = time.time()
+        cp.ransac_camera_motion(np.eye(3), np.zeros(3), max_iterations=sample_iters)
+        t_ransac = (time.time() - t0) * (5967 / sample_iters)
+
+        # Per-frame cost model over the sequence: every frame is extracted once
+        # per pair it joins (the reference re-extracts; Runner.py:344-346 —
+        # 2 extractions per pair), each of the N-1 pairs is matched, and each
+        # pair runs one full-length RANSAC (bootstrap ransac_camera_motion or
+        # find_inliers, both 5,967 iterations).
+        per_pair = 2 * t_extract + t_match + t_ransac
+        total = (num_views - 1) * per_pair
+        fps = num_views / total
+        log(
+            f"bench: reference measured: extract {t_extract:.1f}s/img, "
+            f"match {t_match:.1f}s, ransac {t_ransac:.1f}s (extrapolated from "
+            f"{sample_iters} iters) => {fps:.4f} frames/s"
+        )
+        return fps
+    except Exception as e:  # pragma: no cover
+        log(f"bench: reference baseline unavailable: {type(e).__name__}: {e}")
+        return 0.0
+    finally:
+        sys.path.remove(ref_dir)
+
+
+def main():
+    num_views = int(os.environ.get("BENCH_VIEWS", "10"))
+    fps, _ = run_ours(num_views)
+    ref_fps = run_reference_baseline(num_views)
+    vs = fps / ref_fps if ref_fps > 0 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "incremental SfM end-to-end throughput (10 views, 2500 kp, 5967 RANSAC hyps)",
+                "value": round(fps, 4),
+                "unit": "frames/s",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Bundle-adjustment problem container and residual/Jacobian machinery.
+
+The reference packs cameras as Rodrigues 6-vectors plus 3-D points into one
+flat scipy parameter vector and evaluates residuals in a Python loop with a
+cv2.Rodrigues call per observation (SFM.py:405-464), differentiating by 2-point
+finite differences. Here the problem is a pytree of fixed-shape arrays and the
+per-observation 2x6 / 2x3 Jacobian blocks come from forward-mode AD through
+``so3_exp`` — analytic, batched, on-device.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfmfromscratch_tpu.ops.lie import so3_exp
+
+
+class BAProblem(NamedTuple):
+    """Fixed-shape sparse BA problem.
+
+    cam_params: (C, 6) [rvec | t] world-to-camera (reference SFM.py:443-444)
+    points:     (P, 3) world points
+    K:          (C, 3, 3) per-camera intrinsics (reference K_list)
+    obs_cam:    (O,) int32 camera index per observation
+    obs_pt:     (O,) int32 point index per observation
+    obs_xy:     (O, 2) observed pixels
+    obs_w:      (O,) float32 observation weight (0 = padding/invalid)
+    cam_fixed:  (C,) bool — cameras frozen during optimization (gauge fixing)
+    """
+
+    cam_params: jax.Array
+    points: jax.Array
+    K: jax.Array
+    obs_cam: jax.Array
+    obs_pt: jax.Array
+    obs_xy: jax.Array
+    obs_w: jax.Array
+    cam_fixed: jax.Array
+
+    @property
+    def num_cameras(self) -> int:
+        return self.cam_params.shape[0]
+
+    @property
+    def num_points(self) -> int:
+        return self.points.shape[0]
+
+    @property
+    def num_obs(self) -> int:
+        return self.obs_cam.shape[0]
+
+
+def make_problem(
+    camera_params: np.ndarray,
+    points_3d: np.ndarray,
+    camera_indices: np.ndarray,
+    point_indices: np.ndarray,
+    points_2d: np.ndarray,
+    K_list: np.ndarray,
+    obs_weights: Optional[np.ndarray] = None,
+    cam_fixed: Optional[np.ndarray] = None,
+    dtype=jnp.float32,
+) -> BAProblem:
+    """Build a BAProblem from reference-layout inputs (the tuple produced by
+    ``prepare_for_ba``, Runner.py:387-401)."""
+    O = len(camera_indices)
+    if obs_weights is None:
+        obs_weights = np.ones(O, dtype=np.float32)
+    C = camera_params.shape[0]
+    if cam_fixed is None:
+        cam_fixed = np.zeros(C, dtype=bool)
+    return BAProblem(
+        cam_params=jnp.asarray(camera_params, dtype=dtype),
+        points=jnp.asarray(points_3d, dtype=dtype),
+        K=jnp.asarray(K_list, dtype=dtype),
+        obs_cam=jnp.asarray(camera_indices, dtype=jnp.int32),
+        obs_pt=jnp.asarray(point_indices, dtype=jnp.int32),
+        obs_xy=jnp.asarray(points_2d, dtype=dtype),
+        obs_w=jnp.asarray(obs_weights, dtype=dtype),
+        cam_fixed=jnp.asarray(cam_fixed, dtype=bool),
+    )
+
+
+def _project_one(cam: jax.Array, X: jax.Array, K: jax.Array) -> jax.Array:
+    """Project one point through one camera ([rvec | t] 6-vector).
+    Mirrors the reference residual projection (SFM.py:437-440, 448-462)."""
+    R = so3_exp(cam[:3])
+    p = R @ X + cam[3:]
+    h = K @ p
+    z = jnp.where(jnp.abs(h[2]) < 1e-12, 1e-12, h[2])
+    return h[:2] / z
+
+
+def residuals(problem: BAProblem, cam_params: jax.Array, points: jax.Array) -> jax.Array:
+    """(O, 2) weighted reprojection residuals (projected - observed),
+    matching the reference's residual convention (SFM.py:460-462)."""
+    cams = cam_params[problem.obs_cam]
+    Xs = points[problem.obs_pt]
+    Ks = problem.K[problem.obs_cam]
+    proj = jax.vmap(_project_one)(cams, Xs, Ks)
+    return (proj - problem.obs_xy) * problem.obs_w[:, None]
+
+
+def total_cost(problem: BAProblem, cam_params: jax.Array, points: jax.Array) -> jax.Array:
+    r = residuals(problem, cam_params, points)
+    return jnp.sum(r * r)
+
+
+def mean_reprojection_error(
+    problem: BAProblem, cam_params: Optional[jax.Array] = None,
+    points: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Mean per-observation pixel error — the metric the reference prints
+    before/after BA (Runner.py:311-334)."""
+    cam_params = problem.cam_params if cam_params is None else cam_params
+    points = problem.points if points is None else points
+    r = residuals(problem, cam_params, points)
+    w = problem.obs_w
+    err = jnp.linalg.norm(r, axis=-1) / jnp.maximum(w, 1e-12)
+    err = jnp.where(w > 0, err, 0.0)
+    return jnp.sum(err) / jnp.maximum(jnp.sum(w > 0), 1)
+
+
+def jacobian_blocks(problem: BAProblem, cam_params: jax.Array, points: jax.Array):
+    """Per-observation analytic Jacobian blocks.
+
+    Returns (Jc (O, 2, 6), Jp (O, 2, 3), r (O, 2)). Fixed cameras get zero
+    camera blocks (their parameters cannot move).
+    """
+    cams = cam_params[problem.obs_cam]
+    Xs = points[problem.obs_pt]
+    Ks = problem.K[problem.obs_cam]
+
+    def res_one(cam, X, K, xy, w):
+        return (_project_one(cam, X, K) - xy) * w
+
+    def blocks(cam, X, K, xy, w):
+        Jc = jax.jacfwd(lambda c: res_one(c, X, K, xy, w))(cam)
+        Jp = jax.jacfwd(lambda p: res_one(cam, p, K, xy, w))(X)
+        return Jc, Jp
+
+    Jc, Jp = jax.vmap(blocks)(cams, Xs, Ks, problem.obs_xy, problem.obs_w)
+    r = residuals(problem, cam_params, points)
+    fixed = problem.cam_fixed[problem.obs_cam]
+    Jc = jnp.where(fixed[:, None, None], 0.0, Jc)
+    return Jc, Jp, r

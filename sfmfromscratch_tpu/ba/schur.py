@@ -1,0 +1,143 @@
+"""Matrix-free Schur-complement solver for the LM normal equations.
+
+The damped normal system is
+
+    [U  W] [dc]   [gc]
+    [W' V] [dp] = [gp]
+
+with U block-diagonal over cameras (6x6), V block-diagonal over points (3x3)
+and W one 6x3 block per observation. Eliminating the points gives the reduced
+camera system  S dc = b,  S = U - W V^-1 W',  b = gc - W V^-1 gp.
+
+S is never formed: its matvec is four segment-gather/scatter passes over the
+observations plus batched small matmuls — O(O) work, no C^2 memory, and every
+op is a fixed-shape ``segment_sum``/einsum that XLA maps cleanly onto TPU.
+The same matvec runs sharded over observation shards with a ``psum`` in
+parallel/sharded_ba.py; this file is the single-device core.
+
+This replaces the reference's generic scipy trf solve with numerical Jacobians
+(SFM.py:421-429), which re-evaluates the Python residual loop once per
+parameter column.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SchurOperands(NamedTuple):
+    U: jax.Array        # (C, 6, 6) damped camera blocks
+    Vinv: jax.Array     # (P, 3, 3) inverted damped point blocks
+    W: jax.Array        # (O, 6, 3) cross blocks
+    gc: jax.Array       # (C, 6)
+    gp: jax.Array       # (P, 3)
+    obs_cam: jax.Array  # (O,)
+    obs_pt: jax.Array   # (O,)
+
+
+def build_normal_blocks(
+    Jc: jax.Array, Jp: jax.Array, r: jax.Array,
+    obs_cam: jax.Array, obs_pt: jax.Array,
+    num_cameras: int, num_points: int,
+    lam: jax.Array,
+) -> SchurOperands:
+    """Assemble damped U, V^-1, W, gc, gp from per-observation blocks.
+
+    Damping is LM-style multiplicative on the diagonal:
+    diag += lam * diag + eps (keeps the system SPD even for unobserved slots).
+    """
+    UtU = jnp.einsum("oki,okj->oij", Jc, Jc)          # (O, 6, 6)
+    VtV = jnp.einsum("oki,okj->oij", Jp, Jp)          # (O, 3, 3)
+    W = jnp.einsum("oki,okj->oij", Jc, Jp)            # (O, 6, 3)
+    gc_o = jnp.einsum("oki,ok->oi", Jc, r)            # (O, 6)
+    gp_o = jnp.einsum("oki,ok->oi", Jp, r)            # (O, 3)
+
+    U = jax.ops.segment_sum(UtU, obs_cam, num_segments=num_cameras)
+    V = jax.ops.segment_sum(VtV, obs_pt, num_segments=num_points)
+    gc = jax.ops.segment_sum(gc_o, obs_cam, num_segments=num_cameras)
+    gp = jax.ops.segment_sum(gp_o, obs_pt, num_segments=num_points)
+
+    eps = 1e-8
+    dU = jnp.diagonal(U, axis1=-2, axis2=-1)
+    U = U + jnp.eye(6, dtype=U.dtype) * (lam * dU + eps)[..., None, :]
+    dV = jnp.diagonal(V, axis1=-2, axis2=-1)
+    V = V + jnp.eye(3, dtype=V.dtype) * (lam * dV + eps)[..., None, :]
+
+    Vinv = jnp.linalg.inv(V)
+    return SchurOperands(U=U, Vinv=Vinv, W=W, gc=gc, gp=gp,
+                         obs_cam=obs_cam, obs_pt=obs_pt)
+
+
+def schur_matvec(op: SchurOperands, x: jax.Array) -> jax.Array:
+    """S x = U x - W V^-1 W' x for x of shape (C, 6)."""
+    num_points = op.Vinv.shape[0]
+    Ux = jnp.einsum("cij,cj->ci", op.U, x)
+    a = jnp.einsum("oji,oj->oi", op.W, x[op.obs_cam])             # W' x  (O, 3)
+    b = jax.ops.segment_sum(a, op.obs_pt, num_segments=num_points)  # (P, 3)
+    c = jnp.einsum("pij,pj->pi", op.Vinv, b)                      # V^-1  (P, 3)
+    d = jnp.einsum("oij,oj->oi", op.W, c[op.obs_pt])              # W     (O, 6)
+    e = jax.ops.segment_sum(d, op.obs_cam, num_segments=op.U.shape[0])
+    return Ux - e
+
+
+def schur_rhs(op: SchurOperands) -> jax.Array:
+    """b = gc - W V^-1 gp."""
+    c = jnp.einsum("pij,pj->pi", op.Vinv, op.gp)
+    d = jnp.einsum("oij,oj->oi", op.W, c[op.obs_pt])
+    e = jax.ops.segment_sum(d, op.obs_cam, num_segments=op.U.shape[0])
+    return op.gc - e
+
+
+def back_substitute_points(op: SchurOperands, dc: jax.Array) -> jax.Array:
+    """dp = V^-1 (gp - W' dc)."""
+    num_points = op.Vinv.shape[0]
+    a = jnp.einsum("oji,oj->oi", op.W, dc[op.obs_cam])
+    b = jax.ops.segment_sum(a, op.obs_pt, num_segments=num_points)
+    return jnp.einsum("pij,pj->pi", op.Vinv, op.gp - b)
+
+
+def conjugate_gradient(
+    matvec, b: jax.Array, num_iters: int, tol: float = 1e-8
+) -> jax.Array:
+    """Fixed-iteration preconditioned CG (Jacobi preconditioner is folded into
+    the LM damping; plain CG suffices for the damped SPD system)."""
+
+    def body(state):
+        x, rvec, p, rs, it = state
+        Ap = matvec(p)
+        denom = jnp.vdot(p, Ap)
+        alpha = rs / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+        x = x + alpha * p
+        rvec = rvec - alpha * Ap
+        rs_new = jnp.vdot(rvec, rvec)
+        beta = rs_new / jnp.where(jnp.abs(rs) < 1e-20, 1e-20, rs)
+        p = rvec + beta * p
+        return x, rvec, p, rs_new, it + 1
+
+    def cond(state):
+        _, _, _, rs, it = state
+        return (it < num_iters) & (rs > tol)
+
+    x0 = jnp.zeros_like(b)
+    state = (x0, b, b, jnp.vdot(b, b), jnp.asarray(0))
+    x, *_ = jax.lax.while_loop(cond, body, state)
+    return x
+
+
+def solve_schur(
+    op: SchurOperands, cg_iters: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Solve the reduced camera system by CG, back-substitute points.
+    Returns (dc (C, 6), dp (P, 3)) — the LM *descent* direction (to subtract)."""
+    b = schur_rhs(op)
+    flat_b = b.reshape(-1)
+
+    def mv(xflat):
+        return schur_matvec(op, xflat.reshape(b.shape)).reshape(-1)
+
+    dc = conjugate_gradient(mv, flat_b, num_iters=cg_iters).reshape(b.shape)
+    dp = back_substitute_points(op, dc)
+    return dc, dp

@@ -1,0 +1,93 @@
+"""Dataclass configuration for the whole engine.
+
+The reference configures everything through an ``extractor_params`` dict plus
+``SFMRunner`` constructor kwargs (reference: main.py:19-30, Runner.py:129-131).
+Here the same knobs are typed dataclasses; ``from_params_dict`` accepts the
+reference's dict spelling so configs written for the reference drop in
+unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ExtractorConfig:
+    """Feature-extraction knobs (reference: NaiveSIFT.py:35-39, ScaleRotInvSIFT.py:12-13,
+    FeatureExtractor.py:11)."""
+
+    num_interest_points: int = 2500
+    ksize: int = 7               # Harris NMS max-pool window
+    gaussian_size: int = 7       # second-moment smoothing kernel size
+    sigma: float = 5.0
+    alpha: float = 0.05
+    feature_width: int = 16
+    pyramid_level: int = 4
+    pyramid_scale_factor: float = 2.0
+
+    @staticmethod
+    def from_params_dict(params: dict) -> "ExtractorConfig":
+        """Accept the reference's ``extractor_params`` dict verbatim."""
+        fields = {f.name for f in dataclasses.fields(ExtractorConfig)}
+        return ExtractorConfig(**{k: v for k, v in params.items() if k in fields})
+
+    def to_params_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """NN-ratio matcher knobs (reference: NNRatioFeatureMatcher.py:5, main.py:30)."""
+
+    ratio_threshold: float = 0.8
+    max_matches: int = 2500      # fixed output capacity (masked)
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    """Robust-estimation knobs (reference: SFM.py:38,126,184-187; Runner.py:170)."""
+
+    prob_success: float = 0.98
+    sample_size: int = 8
+    ind_prob_correct: float = 0.4
+    epipolar_threshold: float = 1.0
+    pnp_reproj_threshold: float = 8.0
+    max_iterations: Optional[int] = None  # None => derived from the probabilities
+
+    def num_iterations(self) -> int:
+        if self.max_iterations is not None:
+            return self.max_iterations
+        import math
+
+        n = math.log(1.0 - self.prob_success) / math.log(
+            1.0 - self.ind_prob_correct ** self.sample_size
+        )
+        return int(n)
+
+
+@dataclasses.dataclass(frozen=True)
+class BundleAdjustConfig:
+    """LM + Schur bundle-adjustment knobs (replaces scipy trf at reference SFM.py:421-429)."""
+
+    max_lm_iters: int = 30
+    init_damping: float = 1e-3
+    damping_up: float = 4.0
+    damping_down: float = 0.5
+    ftol: float = 1e-2           # relative cost decrease stop (reference ftol, SFM.py:427)
+    huber_delta: float = 0.0     # 0 => plain least squares (reference behavior)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end incremental-SfM knobs (reference: Runner.py:129-131, main.py:29-30)."""
+
+    extractor: ExtractorConfig = ExtractorConfig()
+    matcher: MatcherConfig = MatcherConfig(ratio_threshold=0.85)
+    ransac: RansacConfig = RansacConfig()
+    ba: BundleAdjustConfig = BundleAdjustConfig()
+    scale_factor: float = 0.5    # image prescale (reference Runner.py:23)
+    dist_threshold: float = 5.0  # 2D association gate (reference Runner.py:129)
+    max_points: int = 200_000    # global map capacity (fixed shape, masked)
+    seed: int = 5                # reference RNG anchor (SFM.py:45)

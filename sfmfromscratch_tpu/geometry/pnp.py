@@ -1,0 +1,268 @@
+"""Perspective-n-Point pose estimation: batched DLT hypotheses + RANSAC +
+on-device Gauss-Newton refinement.
+
+Replaces the reference's ``PoseEstimator``/``PnPRansac``/``PnP`` wrappers over
+``cv2.solvePnPRansac``/``cv2.solvePnP`` (PoseEstimator.py:7-105) with a
+TPU-native design:
+
+* minimal solver: 6-point DLT for the 3x4 projection matrix (12x12 eigh null
+  vector), intrinsics factored out to recover (R, t) via orthogonal Procrustes,
+* RANSAC: all hypotheses scored at once by reprojection error
+  (threshold 8 px, matching cv2's ``reprojectionError=8.0`` at
+  PoseEstimator.py:59),
+* refinement: fixed-iteration Levenberg-Marquardt on the winning hypothesis's
+  inliers over (so3, t) — the analogue of cv2's ``SOLVEPNP_ITERATIVE`` final
+  polish — using analytic Jacobians from ``jax.jacfwd`` through ``so3_exp``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sfmfromscratch_tpu.ops.lie import so3_exp, so3_log
+from sfmfromscratch_tpu.ops.smallsvd import nullvec_lstsq
+from sfmfromscratch_tpu.geometry.ransac import sample_minimal_indices
+
+
+class PnPResult(NamedTuple):
+    R: jax.Array            # (3, 3)
+    t: jax.Array            # (3,)
+    inliers: jax.Array      # (N,) bool
+    num_inliers: jax.Array  # () int32
+    ok: jax.Array           # () bool — enough support to trust the pose
+
+
+def _normalize_2d(x: jax.Array, w: Optional[jax.Array] = None):
+    """Zero-mean / sqrt(2)-radius similarity for (..., M, 2) pixels; returns
+    (x_norm (..., M, 2), T (..., 3, 3)) with x_n = T x_h. Conditioning is
+    essential: unnormalized DLT columns span ~3 orders of magnitude, which
+    float32 eigh cannot survive."""
+    ww = jnp.ones(x.shape[:-1], x.dtype) if w is None else w.astype(x.dtype)
+    cnt = jnp.maximum(jnp.sum(ww, axis=-1, keepdims=True), 1.0)
+    mean = jnp.sum(x * ww[..., None], axis=-2, keepdims=True) / cnt[..., None]
+    centered = x - mean
+    rad = jnp.sum(jnp.linalg.norm(centered, axis=-1) * ww, axis=-1) / cnt[..., 0]
+    s = jnp.sqrt(2.0).astype(x.dtype) / jnp.maximum(rad, 1e-12)
+    xn = centered * s[..., None, None]
+    sB = s[..., None, None]
+    cu = mean[..., 0, 0][..., None, None]
+    cv = mean[..., 0, 1][..., None, None]
+    z = jnp.zeros_like(sB)
+    o = jnp.ones_like(sB)
+    T = jnp.concatenate(
+        [
+            jnp.concatenate([sB, z, -sB * cu], axis=-1),
+            jnp.concatenate([z, sB, -sB * cv], axis=-1),
+            jnp.concatenate([z, z, o], axis=-1),
+        ],
+        axis=-2,
+    )
+    return xn, T
+
+
+def _normalize_3d(X: jax.Array, w: Optional[jax.Array] = None):
+    """Zero-mean / sqrt(3)-radius similarity for (..., M, 3) world points;
+    returns (X_norm, U (..., 4, 4)) with X_n_h = U X_h."""
+    ww = jnp.ones(X.shape[:-1], X.dtype) if w is None else w.astype(X.dtype)
+    cnt = jnp.maximum(jnp.sum(ww, axis=-1, keepdims=True), 1.0)
+    mean = jnp.sum(X * ww[..., None], axis=-2, keepdims=True) / cnt[..., None]
+    centered = X - mean
+    rad = jnp.sum(jnp.linalg.norm(centered, axis=-1) * ww, axis=-1) / cnt[..., 0]
+    s = jnp.sqrt(3.0).astype(X.dtype) / jnp.maximum(rad, 1e-12)
+    Xn = centered * s[..., None, None]
+    # U = [[s,0,0,-s*mx],[0,s,0,-s*my],[0,0,s,-s*mz],[0,0,0,1]]
+    sB = s[..., None, None]
+    m = mean[..., 0, :]
+    z = jnp.zeros_like(sB)
+    o = jnp.ones_like(sB)
+    mx = m[..., 0][..., None, None]
+    my = m[..., 1][..., None, None]
+    mz = m[..., 2][..., None, None]
+    U = jnp.concatenate(
+        [
+            jnp.concatenate([sB, z, z, -sB * mx], axis=-1),
+            jnp.concatenate([z, sB, z, -sB * my], axis=-1),
+            jnp.concatenate([z, z, sB, -sB * mz], axis=-1),
+            jnp.concatenate([z, z, z, o], axis=-1),
+        ],
+        axis=-2,
+    )
+    return Xn, U
+
+
+def _dlt_projection(
+    X: jax.Array, x: jax.Array, w: Optional[jax.Array] = None
+) -> jax.Array:
+    """(..., M, 3) world points + (..., M, 2) pixels -> (..., 3, 4) projection
+    matrix via the normalized 2M x 12 DLT system (null vector by eigh).
+    Optional per-point weights zero out masked rows."""
+    xn, T = _normalize_2d(x, w)
+    Xn, Unorm = _normalize_3d(X, w)
+    ones = jnp.ones_like(Xn[..., :1])
+    Xh = jnp.concatenate([Xn, ones], axis=-1)                # (..., M, 4)
+    zero = jnp.zeros_like(Xh)
+    u = xn[..., 0:1]
+    v = xn[..., 1:2]
+    r1 = jnp.concatenate([Xh, zero, -u * Xh], axis=-1)        # (..., M, 12)
+    r2 = jnp.concatenate([zero, Xh, -v * Xh], axis=-1)
+    if w is not None:
+        r1 = r1 * w[..., None]
+        r2 = r2 * w[..., None]
+    A = jnp.concatenate([r1, r2], axis=-2)                    # (..., 2M, 12)
+    p = nullvec_lstsq(A)
+    Pn = p.reshape(p.shape[:-1] + (3, 4))
+    # Denormalize: x ~ T^-1 Pn U X_h.
+    return jnp.linalg.inv(T) @ Pn @ Unorm
+
+
+def _pose_from_projection(P: jax.Array, K: jax.Array):
+    """Factor (..., 3, 4) P ~ K [R | t].
+
+    M = K^-1 P = s [R | t] with det(M[:, :3]) = s^3 (det R = 1), so the signed
+    scale is cbrt(det) — this resolves the DLT's global sign ambiguity
+    directly (points end up in front of the camera when the sample is
+    consistent). The rotation block is then projected to SO(3) by Procrustes.
+    """
+    M = jnp.linalg.inv(K) @ P
+    A = M[..., :, :3]
+    detA = jnp.linalg.det(A)
+    s = jnp.cbrt(detA)
+    s_safe = jnp.where(jnp.abs(s) < 1e-12, 1e-12, s)
+    An = A / s_safe[..., None, None]
+    U, _, Vt = jnp.linalg.svd(An)
+    R = U @ Vt
+    detR = jnp.linalg.det(R)
+    U = U.at[..., :, 2].multiply(jnp.where(detR < 0, -1.0, 1.0)[..., None])
+    R = U @ Vt
+    t = M[..., :, 3] / s_safe[..., None]
+    return R, t
+
+
+def _reproj_errors(R: jax.Array, t: jax.Array, K: jax.Array, X: jax.Array, x: jax.Array):
+    """(..., N) pixel reprojection errors."""
+    cam = jnp.einsum("...ij,nj->...ni", R, X) + t[..., None, :]
+    pix = jnp.einsum("ij,...nj->...ni", K, cam)
+    z = pix[..., 2:3]
+    proj = pix[..., :2] / jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    return jnp.linalg.norm(proj - x, axis=-1)
+
+
+def _lm_refine(rvec0, t0, K, X, x, w, num_iters: int = 10):
+    """Levenberg-Marquardt on (rvec, t) minimizing weighted reprojection error."""
+
+    def residuals(params):
+        rvec, t = params[:3], params[3:]
+        R = so3_exp(rvec)
+        cam = X @ R.T + t
+        pix = cam @ K.T
+        z = pix[:, 2:3]
+        proj = pix[:, :2] / jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+        return ((proj - x) * w[:, None]).reshape(-1)
+
+    def cost(params):
+        r = residuals(params)
+        return jnp.sum(r * r)
+
+    def step(carry, _):
+        params, lam = carry
+        r = residuals(params)
+        J = jax.jacfwd(residuals)(params)
+        JtJ = J.T @ J
+        g = J.T @ r
+        H = JtJ + lam * jnp.diag(jnp.diag(JtJ) + 1e-9)
+        dp = jnp.linalg.solve(H, g)
+        new_params = params - dp
+        improved = cost(new_params) < cost(params)
+        params = jnp.where(improved, new_params, params)
+        lam = jnp.where(improved, lam * 0.5, lam * 4.0)
+        return (params, lam), None
+
+    p0 = jnp.concatenate([rvec0, t0])
+    (p, _), _ = jax.lax.scan(step, (p0, jnp.asarray(1e-3)), None, length=num_iters)
+    return p[:3], p[3:]
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses", "sample_size", "refine_iters"))
+def pnp_ransac(
+    key: jax.Array,
+    points3d: jax.Array,
+    points2d: jax.Array,
+    K: jax.Array,
+    mask: Optional[jax.Array] = None,
+    num_hypotheses: int = 1000,
+    reproj_threshold: float = 8.0,
+    sample_size: int = 6,
+    refine_iters: int = 10,
+    min_points: int = 4,
+) -> PnPResult:
+    """Robust 2D-3D pose (reference ``PnPRansac``, PoseEstimator.py:32-69).
+
+    Returns world-to-camera (R, t) with the inlier mask; ``ok`` is False when
+    support is insufficient (reference returns None poses below 4 points,
+    PoseEstimator.py:50-51, and the pipeline raises, Runner.py:263-264).
+    """
+    n = points3d.shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), dtype=bool)
+    n_valid = jnp.sum(mask)
+
+    idx = sample_minimal_indices(key, n, mask, num_hypotheses, sample_size)
+    Xs = points3d[idx]                                       # (B, s, 3)
+    xs = points2d[idx]                                       # (B, s, 2)
+    P = _dlt_projection(Xs, xs)                              # (B, 3, 4)
+    R, t = _pose_from_projection(P, K)                       # (B,3,3), (B,3)
+
+    errs = _reproj_errors(R, t, K, points3d, points2d)       # (B, N)
+    inl = (errs < reproj_threshold) & mask[None, :]
+    scores = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(scores)
+
+    R_best, t_best = R[best], t[best]
+    inl_best = inl[best]
+    # LM polish on the inliers of the winner (weights = inlier mask).
+    w = inl_best.astype(points2d.dtype)
+    rvec0 = so3_log(R_best)
+    rvec, t_ref = _lm_refine(rvec0, t_best, K, points3d, points2d, w, num_iters=refine_iters)
+    R_ref = so3_exp(rvec)
+
+    # Keep the refinement only if it does not lose inliers.
+    errs_ref = _reproj_errors(R_ref, t_ref, K, points3d, points2d)
+    inl_ref = (errs_ref < reproj_threshold) & mask
+    keep = jnp.sum(inl_ref) >= jnp.sum(inl_best)
+    R_out = jnp.where(keep, R_ref, R_best)
+    t_out = jnp.where(keep, t_ref, t_best)
+    inl_out = jnp.where(keep, inl_ref, inl_best)
+
+    ok = (n_valid >= min_points) & (jnp.sum(inl_out) >= min_points)
+    return PnPResult(
+        R=R_out, t=t_out, inliers=inl_out, num_inliers=jnp.sum(inl_out), ok=ok
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("refine_iters",))
+def pnp(
+    points3d: jax.Array,
+    points2d: jax.Array,
+    K: jax.Array,
+    mask: Optional[jax.Array] = None,
+    refine_iters: int = 15,
+    min_points: int = 4,
+) -> PnPResult:
+    """Non-robust PnP: DLT on all valid points + LM polish (reference ``PnP``,
+    PoseEstimator.py:71-105)."""
+    n = points3d.shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), dtype=bool)
+    w = mask.astype(points2d.dtype)
+    P = _dlt_projection(points3d, points2d, w)
+    R, t = _pose_from_projection(P, K)
+    rvec, t = _lm_refine(so3_log(R), t, K, points3d, points2d, w, num_iters=refine_iters)
+    R = so3_exp(rvec)
+    errs = _reproj_errors(R, t, K, points3d, points2d)
+    inl = (errs < 8.0) & mask
+    ok = jnp.sum(mask) >= min_points
+    return PnPResult(R=R, t=t, inliers=inl, num_inliers=jnp.sum(inl), ok=ok)

@@ -1,0 +1,164 @@
+"""Vectorized RANSAC: all hypotheses as one batched, jitted program.
+
+The reference runs 5,967 sequential Python iterations, each with host SVDs and
+(for pose) a full per-point DLT cheirality scan (SFM.py:38-160) — its dominant
+hot loop (SURVEY.md §3.5). Here the entire hypothesis population is evaluated
+at once:
+
+* minimal-sample indices: masked uniform keys + ``top_k`` (no replacement),
+* B fundamental matrices via one batched eigh (epipolar.eight_point_fundamental),
+* B x N epipolar distances as one broadcasted matmul,
+* cheirality via the closed-form two-view depth (triangulation.two_view_depths)
+  instead of a DLT per point per candidate,
+* argmax selection on-device.
+
+Scoring semantics follow the reference: an inlier is a correspondence whose
+point-to-epipolar-line distance in image 2 is below ``threshold``
+(SFM.py:86-95); a pose candidate is acceptable when every valid correspondence
+triangulates in front of both cameras (SFM.py:105-124), with a graceful
+fallback to the max-cheirality candidate when noise makes the strict rule
+unsatisfiable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sfmfromscratch_tpu.geometry.epipolar import (
+    eight_point_fundamental,
+    epipolar_distances,
+    essential_from_fundamental,
+)
+from sfmfromscratch_tpu.geometry.triangulation import two_view_depths
+from sfmfromscratch_tpu.ops.smallsvd import decompose_essential
+
+
+class RansacPoseResult(NamedTuple):
+    R: jax.Array            # (3, 3) best relative rotation
+    t: jax.Array            # (3,) best unit translation
+    F: jax.Array            # (3, 3) fundamental matrix of the winning hypothesis
+    inliers: jax.Array      # (N,) bool epipolar-inlier mask
+    num_inliers: jax.Array  # () int32
+    cheirality_ok: jax.Array  # () bool: strict all-points-in-front held
+
+
+class RansacFResult(NamedTuple):
+    F: jax.Array
+    inliers: jax.Array
+    num_inliers: jax.Array
+
+
+def sample_minimal_indices(
+    key: jax.Array, n: int, mask: Optional[jax.Array], num_hypotheses: int, sample_size: int
+) -> jax.Array:
+    """(B, sample_size) distinct valid indices per hypothesis.
+
+    Samples without replacement by ranking i.i.d. uniforms (invalid entries are
+    pushed to the bottom) — the batched analogue of ``np.random.choice(...,
+    replace=False)`` at SFM.py:49."""
+    u = jax.random.uniform(key, (num_hypotheses, n))
+    if mask is not None:
+        u = jnp.where(mask[None, :], u, 2.0)
+    _, idx = jax.lax.top_k(-u, sample_size)
+    return idx.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses", "sample_size"))
+def ransac_fundamental(
+    key: jax.Array,
+    p1: jax.Array,
+    p2: jax.Array,
+    mask: Optional[jax.Array] = None,
+    num_hypotheses: int = 1000,
+    threshold: float = 1.0,
+    sample_size: int = 8,
+) -> RansacFResult:
+    """Robust fundamental-matrix inlier search — the reference's static
+    ``find_inliers`` (SFM.py:126-160) as one program.
+
+    Returns the winning F and its epipolar-inlier mask.
+    """
+    n = p1.shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), dtype=bool)
+    idx = sample_minimal_indices(key, n, mask, num_hypotheses, sample_size)
+    sp1 = p1[idx]                        # (B, s, 2)
+    sp2 = p2[idx]
+    F = eight_point_fundamental(sp1, sp2)  # (B, 3, 3)
+    d = epipolar_distances(F, p1, p2)      # (B, N)
+    inl = (d < threshold) & mask[None, :]
+    scores = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(scores)
+    return RansacFResult(F=F[best], inliers=inl[best], num_inliers=scores[best])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_hypotheses", "sample_size")
+)
+def ransac_essential_pose(
+    key: jax.Array,
+    p1: jax.Array,
+    p2: jax.Array,
+    K1: jax.Array,
+    K2: jax.Array,
+    mask: Optional[jax.Array] = None,
+    num_hypotheses: int = 1000,
+    threshold: float = 1.0,
+    sample_size: int = 8,
+    min_cheirality_frac: float = 1.0,
+) -> RansacPoseResult:
+    """Relative-pose RANSAC — the reference's ``ransac_camera_motion``
+    (SFM.py:38-103) fully vectorized.
+
+    Per hypothesis: 8-point F -> E = K2^T F K1 -> 4 (R, t) candidates; the
+    candidate with the most points in front of both cameras wins; a hypothesis
+    is 'strict' when its winner has a cheirality fraction >= ``min_cheirality_frac``
+    (the reference demands 1.0, SFM.py:105-124). Strict hypotheses are ranked by
+    epipolar inlier count; if none is strict, the max-cheirality hypothesis wins.
+    The base camera is canonical (R=I, t=0), as in the pipeline's only use
+    (Runner.py:202-203).
+    """
+    n = p1.shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), dtype=bool)
+    n_valid = jnp.sum(mask)
+
+    idx = sample_minimal_indices(key, n, mask, num_hypotheses, sample_size)
+    F = eight_point_fundamental(p1[idx], p2[idx])            # (B, 3, 3)
+    E = essential_from_fundamental(F, K1, K2)
+    R1, R2, t = decompose_essential(E)                       # (B,3,3) x2, (B,3)
+
+    Rc = jnp.stack([R1, R1, R2, R2], axis=1)                 # (B, 4, 3, 3)
+    tc = jnp.stack([t, -t, t, -t], axis=1)                   # (B, 4, 3)
+
+    z1, z2 = two_view_depths(Rc, tc, p1, p2, K1, K2)         # (B, 4, N)
+    eps = 1e-6
+    front = (z1 > eps) & (z2 > eps) & mask[None, None, :]
+    che_count = jnp.sum(front, axis=-1)                      # (B, 4)
+    best_cand = jnp.argmax(che_count, axis=-1)               # (B,)
+    best_che = jnp.max(che_count, axis=-1)                   # (B,)
+
+    d = epipolar_distances(F, p1, p2)                        # (B, N)
+    inl = (d < threshold) & mask[None, :]
+    inliers = jnp.sum(inl, axis=-1)                          # (B,)
+
+    strict = best_che >= (min_cheirality_frac * n_valid).astype(best_che.dtype)
+    strict_score = jnp.where(strict, inliers, -1)
+    any_strict = jnp.max(strict_score) >= 0
+    best_strict = jnp.argmax(strict_score)
+    best_loose = jnp.argmax(best_che * (n + 1) + inliers)
+    best = jnp.where(any_strict, best_strict, best_loose)
+
+    cand = best_cand[best]
+    return RansacPoseResult(
+        R=Rc[best, cand],
+        t=tc[best, cand],
+        F=F[best],
+        inliers=inl[best],
+        num_inliers=inliers[best],
+        cheirality_ok=strict[best],
+    )

@@ -1,0 +1,135 @@
+"""Triangulation: batched DLT plus on-device nonlinear refinement.
+
+Replaces the reference's per-point Python loops with single-SVD-per-point host
+calls (SFM.py:238-305) and its scipy Levenberg-Marquardt point refinement
+(SFM.py:255-289) with:
+
+* one batched 4x4 eigh for all points at once (``triangulate_dlt``),
+* a fixed-iteration Gauss-Newton refinement with analytic 3x3 normal equations
+  solved in closed form (``refine_points_gn``) — jit-compatible, vmapped over
+  points, no host round trips,
+* a closed-form two-view depth used for cheirality tests inside RANSAC
+  (``two_view_depths``), replacing the reference's per-candidate full DLT scan
+  (SFM.py:105-124).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sfmfromscratch_tpu.ops.smallsvd import nullvec_lstsq
+from sfmfromscratch_tpu.geometry.epipolar import hartley_normalize
+
+
+def triangulate_dlt(p1: jax.Array, p2: jax.Array, P1: jax.Array, P2: jax.Array) -> jax.Array:
+    """Batched linear triangulation.
+
+    p1, p2: (..., N, 2) pixel observations; P1, P2: (..., 3, 4) projections.
+    Returns (..., N, 3) Euclidean points. The 4x4 system per point is solved for
+    all points in one eigh call (reference: one SVD per point, SFM.py:238-253).
+    """
+    x1, y1 = p1[..., 0:1], p1[..., 1:2]
+    x2, y2 = p2[..., 0:1], p2[..., 1:2]
+    P1b = P1[..., None, :, :]
+    P2b = P2[..., None, :, :]
+    rows = jnp.stack(
+        [
+            x1 * P1b[..., 2, :] - P1b[..., 0, :],
+            y1 * P1b[..., 2, :] - P1b[..., 1, :],
+            x2 * P2b[..., 2, :] - P2b[..., 0, :],
+            y2 * P2b[..., 2, :] - P2b[..., 1, :],
+        ],
+        axis=-2,
+    )  # (..., N, 4, 4)
+    X = nullvec_lstsq(rows)  # (..., N, 4)
+    w = X[..., 3:4]
+    return X[..., :3] / jnp.where(jnp.abs(w) < 1e-12, jnp.where(w < 0, -1e-12, 1e-12), w)
+
+
+def triangulate_normalized(
+    p1: jax.Array, p2: jax.Array, P1: jax.Array, P2: jax.Array,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Hartley-normalized DLT: normalize observations, transform the projection
+    matrices accordingly, then triangulate (reference ``triangulate_points``,
+    SFM.py:291-305)."""
+    p1n, T1 = hartley_normalize(p1, mask)
+    p2n, T2 = hartley_normalize(p2, mask)
+    return triangulate_dlt(p1n[..., :2], p2n[..., :2], T1 @ P1, T2 @ P2)
+
+
+def _reproj_residual(X: jax.Array, p1: jax.Array, p2: jax.Array, P1: jax.Array, P2: jax.Array):
+    Xh = jnp.concatenate([X, jnp.ones_like(X[..., :1])], axis=-1)
+    a = P1 @ Xh
+    b = P2 @ Xh
+    r1 = p1 - a[:2] / jnp.where(jnp.abs(a[2]) < 1e-12, 1e-12, a[2])
+    r2 = p2 - b[:2] / jnp.where(jnp.abs(b[2]) < 1e-12, 1e-12, b[2])
+    return jnp.concatenate([r1, r2])
+
+
+def refine_points_gn(
+    p3d: jax.Array,
+    p1: jax.Array,
+    p2: jax.Array,
+    P1: jax.Array,
+    P2: jax.Array,
+    mask: Optional[jax.Array] = None,
+    num_iters: int = 10,
+    damping: float = 1e-6,
+) -> jax.Array:
+    """Per-point Gauss-Newton refinement of reprojection error with poses fixed.
+
+    Functional replacement for the reference's scipy-LM ``non_linear_triangulation``
+    (SFM.py:255-289), but each point's 4-residual/3-parameter system is solved
+    independently with analytic normal equations — so the whole point cloud
+    refines as one jitted, vmapped program with zero host synchronization.
+    """
+
+    def refine_one(X0, q1, q2, valid):
+        def step(_, X):
+            r = _reproj_residual(X, q1, q2, P1, P2)
+            J = jax.jacfwd(_reproj_residual)(X, q1, q2, P1, P2)
+            JtJ = J.T @ J + damping * jnp.eye(3, dtype=X.dtype)
+            g = J.T @ r
+            # Gauss-Newton step: X <- X - (J^T J)^-1 J^T r.
+            dx = jnp.linalg.solve(JtJ, g)
+            X_new = X - dx
+            ok = jnp.all(jnp.isfinite(X_new))
+            return jnp.where(ok, X_new, X)
+
+        X_ref = jax.lax.fori_loop(0, num_iters, step, X0)
+        return jnp.where(valid, X_ref, X0)
+
+    if mask is None:
+        mask = jnp.ones(p3d.shape[:-1], dtype=bool)
+    return jax.vmap(refine_one)(p3d, p1, p2, mask)
+
+
+def two_view_depths(
+    R: jax.Array, t: jax.Array, x1: jax.Array, x2: jax.Array,
+    K1: jax.Array, K2: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Closed-form depths of correspondences under relative pose (R, t).
+
+    x1, x2: (..., N, 2) pixels. Backprojects to rays r1 = K1^-1 x1h,
+    r2 = K2^-1 x2h and solves z2 * r2 = R (z1 * r1) + t in least squares via the
+    cross-product elimination:  z1 = (c x r2).(t x r2) / ||c x r2||^2 with
+    c = R r1 — O(1) per point. This is the cheirality test the reference runs as
+    a full DLT over every point per RANSAC candidate (SFM.py:105-124), made
+    cheap enough to evaluate for thousands of hypotheses at once.
+    """
+    x1h = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], axis=-1)
+    x2h = jnp.concatenate([x2, jnp.ones_like(x2[..., :1])], axis=-1)
+    r1 = x1h @ jnp.swapaxes(jnp.linalg.inv(K1), -1, -2)
+    r2 = x2h @ jnp.swapaxes(jnp.linalg.inv(K2), -1, -2)
+    c = r1 @ jnp.swapaxes(R, -1, -2)  # (..., N, 3) rotated rays
+    cx = jnp.cross(c, r2)
+    tx = jnp.cross(t[..., None, :], r2)  # broadcasts over batch dims
+    denom = jnp.sum(cx * cx, axis=-1)
+    z1 = -jnp.sum(cx * tx, axis=-1) / jnp.maximum(denom, 1e-12)
+    X2 = z1[..., None] * c + t[..., None, :]
+    z2 = X2[..., 2]
+    return z1, z2

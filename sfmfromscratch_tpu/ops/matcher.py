@@ -1,0 +1,77 @@
+"""NN-ratio descriptor matching as a matmul + top-2 reduction.
+
+Replaces the reference's dense (n1, n2, 128) broadcast + per-row full argsort +
+Python ratio loop (NNRatioFeatureMatcher.py:31-51) with:
+
+    ||a - b||^2 = ||a||^2 + ||b||^2 - 2 a.b^T
+
+one (n1, 128) x (128, n2) matmul on the MXU followed by ``lax.top_k(k=2)``.
+Outputs are fixed-capacity and sorted best-first (ascending NN distance ratio),
+matching the reference's output contract (NNRatioFeatureMatcher.py:56-58).
+A fused Pallas kernel (ops/pallas/match_kernel.py) computes the same result
+without materializing the full distance matrix in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sfmfromscratch_tpu.types import MatchResult
+
+_BIG = 1e12
+
+
+def pairwise_sq_dists(d1: jax.Array, d2: jax.Array) -> jax.Array:
+    """(n1, D), (n2, D) -> (n1, n2) squared Euclidean distances via matmul."""
+    n1sq = jnp.sum(d1 * d1, axis=-1, keepdims=True)
+    n2sq = jnp.sum(d2 * d2, axis=-1, keepdims=True).T
+    cross = jnp.dot(d1, d2.T, preferred_element_type=jnp.float32)
+    return jnp.maximum(n1sq + n2sq - 2.0 * cross, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_matches",))
+def match_ratio_test(
+    d1: jax.Array,
+    d2: jax.Array,
+    mask1: Optional[jax.Array] = None,
+    mask2: Optional[jax.Array] = None,
+    ratio_threshold: float = 0.8,
+    max_matches: Optional[int] = None,
+) -> MatchResult:
+    """Lowe's ratio-test matching, asymmetric (queries = rows of d1), matching
+    reference semantics: accept row i iff d_first / d_second <= ratio and the
+    second-best distance is > 0; output sorted ascending by ratio.
+
+    Invalid rows/columns (masks) are excluded. Output capacity is
+    ``max_matches`` (default n1) with a validity mask.
+    """
+    n1 = d1.shape[0]
+    cap = max_matches if max_matches is not None else n1
+
+    sq = pairwise_sq_dists(d1, d2)
+    if mask2 is not None:
+        sq = jnp.where(mask2[None, :], sq, _BIG)
+    # Need the two smallest distances per row.
+    neg_top2, _idx2 = jax.lax.top_k(-sq, 2)
+    dist1 = jnp.sqrt(jnp.maximum(-neg_top2[:, 0], 0.0))
+    dist2 = jnp.sqrt(jnp.maximum(-neg_top2[:, 1], 0.0))
+    nearest = _idx2[:, 0].astype(jnp.int32)
+
+    ratio = dist1 / jnp.maximum(dist2, 1e-12)
+    ok = (dist2 > 0) & (ratio <= ratio_threshold) & (dist2 < jnp.sqrt(_BIG) - 1)
+    if mask1 is not None:
+        ok = ok & mask1
+
+    # Sort best-first over fixed capacity.
+    sort_key = jnp.where(ok, ratio, jnp.inf)
+    order_key, order = jax.lax.top_k(-sort_key, cap)
+    rows = order.astype(jnp.int32)
+    out_mask = jnp.isfinite(-order_key)
+    indices = jnp.stack([rows, nearest[rows]], axis=-1)
+    confidence = jnp.where(out_mask, ratio[rows], 0.0)
+    indices = jnp.where(out_mask[:, None], indices, 0)
+    return MatchResult(indices=indices, confidence=confidence, mask=out_mask)

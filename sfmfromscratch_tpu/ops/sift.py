@@ -1,0 +1,151 @@
+"""Batched (Root)SIFT descriptors: all keypoints at once, histograms as matmuls.
+
+Replaces the reference's per-keypoint Python descriptor loops
+(NaiveSIFT.py:122-173, ScaleRotInvSIFT.py:33-87). TPU-first design:
+
+* patch extraction is a vmapped ``dynamic_slice`` gather,
+* the 36-bin dominant-orientation histogram and the 4x4x8 cell histograms are
+  one-hot-weighted matmuls/segment-sums (MXU/VPU work, no ``np.histogram``),
+* everything is one jitted program over the fixed keypoint capacity; invalid
+  slots produce zero descriptors.
+
+Reference behavior faithfully kept (SURVEY.md §3.4 quirks):
+
+* the sampling window is ``feature_width`` wide starting at (y - fw//2 + 1,
+  x - fw//2 + 1), but the 4x4 histogram grid always reads fixed 4-px cells, so
+  only the top-left 16x16 of the window contributes; windows narrower than 16
+  are zero-padded (matching numpy's clamped slicing),
+* after dominant-orientation subtraction, angles falling outside [-pi, pi] are
+  *dropped* (np.histogram ignores out-of-range values, ScaleRotInvSIFT.py:62-76);
+  pass ``wrap_orientations=True`` for the mathematically-correct wrap-around,
+* RootSIFT: L2-normalize then sqrt (NaiveSIFT.py:165-170).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sfmfromscratch_tpu.ops.image import sobel_gradients
+
+_GRID = 4           # 4x4 spatial cells
+_CELL = 4           # each cell is 4x4 pixels
+_NBINS = 8          # orientation bins per cell
+_DOM_BINS = 36      # dominant-orientation histogram bins
+_DESC_REGION = _GRID * _CELL  # 16
+
+
+def _extract_patches(field: jax.Array, x: jax.Array, y: jax.Array, fw: int) -> jax.Array:
+    """Gather (fw, fw) windows at (y - fw//2 + 1, x - fw//2 + 1) for each keypoint,
+    zero-padded to (16, 16) when fw < 16 (reference slicing semantics,
+    NaiveSIFT.py:137-142)."""
+    half = fw // 2
+    size = max(fw, _DESC_REGION)
+    # Zero-pad the field so clamped starts never pull in edge data for valid
+    # keypoints, and padded windows read zeros where numpy slices were empty.
+    pad = size
+    fpad = jnp.pad(field, ((pad, pad), (pad, pad)))
+
+    def one_full(xi, yi):
+        r0 = yi - half + 1 + pad
+        c0 = xi - half + 1 + pad
+        return jax.lax.dynamic_slice(fpad, (r0, c0), (size, size))
+
+    return jax.vmap(one_full)(x, y)
+
+
+def _mask_window(win: jax.Array, fw: int) -> jax.Array:
+    """Zero entries outside the true (fw, fw) window."""
+    size = win.shape[-1]
+    if fw >= size:
+        return win
+    rows = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
+    return jnp.where((rows < fw) & (cols < fw), win, 0.0)
+
+
+def _dominant_orientation(mag: jax.Array, ori: jax.Array) -> jax.Array:
+    """Weighted 36-bin argmax orientation per keypoint
+    (reference ScaleRotInvSIFT.py:24-31).
+
+    mag, ori: (K, S, S). Histogram via one-hot matmul; returns bin centers.
+    """
+    K = mag.shape[0]
+    m = mag.reshape(K, -1)
+    o = ori.reshape(K, -1)
+    width = 2.0 * jnp.pi / _DOM_BINS
+    idx = jnp.clip(jnp.floor((o + jnp.pi) / width), 0, _DOM_BINS - 1).astype(jnp.int32)
+    onehot = jax.nn.one_hot(idx, _DOM_BINS, dtype=m.dtype)  # (K, P, 36)
+    hist = jnp.einsum("kp,kpb->kb", m, onehot)
+    best = jnp.argmax(hist, axis=-1)
+    return -jnp.pi + (best.astype(m.dtype) + 0.5) * width
+
+
+def _cell_histograms(
+    mag: jax.Array, ori: jax.Array, drop_out_of_range: bool
+) -> jax.Array:
+    """(K, 16, 16) magnitudes/orientations -> (K, 128) concatenated 4x4x8 cell
+    histograms, np.histogram bin semantics: edges linspace(-pi, pi, 9), right
+    edge inclusive in the last bin, out-of-range dropped
+    (reference NaiveSIFT.py:144-163)."""
+    K = mag.shape[0]
+    width = 2.0 * jnp.pi / _NBINS
+    # np.histogram: values == +pi land in the last bin; values outside are dropped.
+    in_range = (ori >= -jnp.pi) & (ori <= jnp.pi)
+    idx = jnp.clip(jnp.floor((ori + jnp.pi) / width), 0, _NBINS - 1).astype(jnp.int32)
+    w = mag * in_range if drop_out_of_range else mag
+    if not drop_out_of_range:
+        # Wrap angles into [-pi, pi) instead of dropping.
+        wrapped = jnp.mod(ori + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+        idx = jnp.clip(jnp.floor((wrapped + jnp.pi) / width), 0, _NBINS - 1).astype(jnp.int32)
+
+    # Reshape into cells: (K, 4, 4, 4, 4) = (K, gr, cr, gc, cc)
+    m = w.reshape(K, _GRID, _CELL, _GRID, _CELL).transpose(0, 1, 3, 2, 4).reshape(K, _GRID * _GRID, -1)
+    b = idx.reshape(K, _GRID, _CELL, _GRID, _CELL).transpose(0, 1, 3, 2, 4).reshape(K, _GRID * _GRID, -1)
+    onehot = jax.nn.one_hot(b, _NBINS, dtype=m.dtype)  # (K, 16, 16px, 8)
+    hist = jnp.einsum("kcp,kcpb->kcb", m, onehot)       # (K, 16, 8)
+    return hist.reshape(K, _GRID * _GRID * _NBINS)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("feature_width", "rotation_invariant", "wrap_orientations"),
+)
+def sift_descriptors(
+    image: jax.Array,
+    x: jax.Array,
+    y: jax.Array,
+    mask: jax.Array,
+    feature_width: int,
+    rotation_invariant: bool = True,
+    wrap_orientations: bool = False,
+) -> jax.Array:
+    """128-D RootSIFT descriptors for all keypoints of one (H, W) image.
+
+    ``rotation_invariant=False`` reproduces NaiveSIFT (no dominant-orientation
+    subtraction, NaiveSIFT.py:122-173); ``True`` reproduces ScaleRotInvSIFT
+    (ScaleRotInvSIFT.py:33-87). Invalid keypoints yield zero rows.
+    """
+    Ix, Iy = sobel_gradients(image)
+    mag = jnp.sqrt(Ix * Ix + Iy * Iy)
+    ori = jnp.arctan2(Iy, Ix)
+
+    mags = _extract_patches(mag, x, y, feature_width)   # (K, S, S)
+    oris = _extract_patches(ori, x, y, feature_width)
+    mags = jax.vmap(lambda w: _mask_window(w, feature_width))(mags)
+
+    if rotation_invariant:
+        dom = _dominant_orientation(mags, oris)
+        oris = oris - dom[:, None, None]
+
+    region_m = mags[:, :_DESC_REGION, :_DESC_REGION]
+    region_o = oris[:, :_DESC_REGION, :_DESC_REGION]
+    hist = _cell_histograms(region_m, region_o, drop_out_of_range=not wrap_orientations)
+
+    norm = jnp.linalg.norm(hist, axis=-1, keepdims=True)
+    normalized = jnp.where(norm > 0, hist / jnp.maximum(norm, 1e-12), hist)
+    desc = jnp.sqrt(normalized)
+    return desc * mask[:, None].astype(desc.dtype)

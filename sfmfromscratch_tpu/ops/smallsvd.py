@@ -1,0 +1,62 @@
+"""Batched small-matrix null-space extraction for TPU.
+
+The reference leans on LAPACK SVD for every 8-point system (9x9, SFM.py:223),
+rank-2 projection (3x3, SFM.py:230) and DLT triangulation (4x4, SFM.py:249) —
+one host call per matrix inside Python loops. On TPU we need these at batch
+sizes of thousands inside one jitted program. The null vector of A equals the
+eigenvector of the symmetric PSD matrix A^T A with smallest eigenvalue, so we
+use ``jnp.linalg.eigh`` (XLA's batched Jacobi eigensolver, TPU-native) rather
+than a general SVD.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def smallest_eigvec_sym(S: jax.Array) -> jax.Array:
+    """Eigenvector of the smallest eigenvalue of a symmetric (..., n, n) matrix."""
+    _, vecs = jnp.linalg.eigh(S)
+    return vecs[..., :, 0]  # eigh returns ascending eigenvalues
+
+
+def nullvec_lstsq(A: jax.Array) -> jax.Array:
+    """Unit vector x minimizing ||A x|| for (..., m, n) A (the DLT null vector).
+
+    Equivalent to the last right-singular vector of A (reference SFM.py:222-227,
+    :249) but computed via eigh(A^T A), which is batched and stays on-device.
+    """
+    AtA = jnp.einsum("...mi,...mj->...ij", A, A)
+    v = smallest_eigvec_sym(AtA)
+    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def project_rank2(F: jax.Array) -> jax.Array:
+    """Project (..., 3, 3) matrices to rank 2 by zeroing the smallest singular value.
+
+    Mirrors the reference's rank-2 enforcement (SFM.py:229-232) with a batched
+    on-device SVD.
+    """
+    U, s, Vt = jnp.linalg.svd(F, full_matrices=False)
+    s = s.at[..., 2].set(0.0)
+    return (U * s[..., None, :]) @ Vt
+
+
+def decompose_essential(E: jax.Array):
+    """Decompose (..., 3, 3) essential matrices into the two rotation candidates
+    and the translation direction (reference SFM.py:62-81).
+
+    Returns (R1, R2, t) with det(R) = +1 enforced; the four pose candidates are
+    (R1, t), (R1, -t), (R2, t), (R2, -t).
+    """
+    U, _, Vt = jnp.linalg.svd(E, full_matrices=False)
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], dtype=E.dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    d1 = jnp.linalg.det(R1)
+    d2 = jnp.linalg.det(R2)
+    R1 = R1 * jnp.sign(d1)[..., None, None]
+    R2 = R2 * jnp.sign(d2)[..., None, None]
+    t = U[..., :, 2]
+    return R1, R2, t

@@ -1,0 +1,181 @@
+"""Distributed bundle adjustment: observations sharded over the ``data`` mesh
+axis, reduced camera system combined with ``psum`` over ICI.
+
+This is the long-sequence / large-map scaling story (SURVEY.md §5.7): each
+device owns an observation shard, forms its local J^T J contributions
+(cameras: 6x6 blocks, points: 3x3 blocks, cross terms per observation), and
+the Schur-complement CG runs replicated with one psum per matvec — the exact
+communication pattern of data-parallel gradient training, riding ICI within a
+slice and DCN across hosts.
+
+Numerically identical to the single-device LM in ba/lm.py (same blocks, same
+CG) — verified by tests/test_parallel.py on the 8-device virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from sfmfromscratch_tpu.ba.lm import BAResult
+from sfmfromscratch_tpu.ba.problem import (
+    BAProblem,
+    jacobian_blocks,
+    mean_reprojection_error,
+    total_cost,
+)
+from sfmfromscratch_tpu.ba.schur import conjugate_gradient
+
+
+def pad_problem_for_sharding(problem: BAProblem, num_shards: int) -> BAProblem:
+    """Pad the observation arrays to a multiple of ``num_shards`` with
+    zero-weight observations (weight 0 ≡ no contribution)."""
+    O = problem.num_obs
+    rem = (-O) % num_shards
+    if rem == 0:
+        return problem
+    pad_i = np.zeros(rem, np.int32)
+    return problem._replace(
+        obs_cam=jnp.concatenate([problem.obs_cam, jnp.asarray(pad_i)]),
+        obs_pt=jnp.concatenate([problem.obs_pt, jnp.asarray(pad_i)]),
+        obs_xy=jnp.concatenate([problem.obs_xy, jnp.zeros((rem, 2), problem.obs_xy.dtype)]),
+        obs_w=jnp.concatenate([problem.obs_w, jnp.zeros(rem, problem.obs_w.dtype)]),
+    )
+
+
+def bundle_adjust_sharded(
+    problem: BAProblem,
+    mesh: Mesh,
+    axis: str = "data",
+    max_iters: int = 30,
+    cg_iters: int = 50,
+    init_damping: float = 1e-3,
+    damping_up: float = 4.0,
+    damping_down: float = 0.5,
+    ftol: float = 1e-2,
+) -> BAResult:
+    """LM + Schur/CG with observation shards on ``axis``. Cameras and points
+    are replicated (they are tiny next to the observations)."""
+    num_shards = mesh.shape[axis] * (
+        int(np.prod([s for n, s in mesh.shape.items() if n != axis]))
+    )
+    # Observations shard over ALL mesh axes (flattened): simplest full use of
+    # the mesh. We express that by sharding over axis only and replicating on
+    # the rest; here we just use the named axis.
+    num_shards = mesh.shape[axis]
+    problem = pad_problem_for_sharding(problem, num_shards)
+    C, Pn = problem.num_cameras, problem.num_points
+
+    obs_spec = P(axis)
+    rep = P()
+
+    def lm_program(cam0, pts0, K, obs_cam, obs_pt, obs_xy, obs_w, cam_fixed):
+        """Runs per-shard under shard_map; obs_* are local shards."""
+        local = BAProblem(
+            cam_params=cam0, points=pts0, K=K,
+            obs_cam=obs_cam, obs_pt=obs_pt, obs_xy=obs_xy, obs_w=obs_w,
+            cam_fixed=cam_fixed,
+        )
+
+        def cost_fn(cam, pts):
+            return jax.lax.psum(total_cost(local, cam, pts), axis)
+
+        def mean_err(cam, pts):
+            # weighted mean across shards
+            from sfmfromscratch_tpu.ba.problem import residuals
+
+            r = residuals(local, cam, pts)
+            w = local.obs_w
+            err = jnp.linalg.norm(r, axis=-1) / jnp.maximum(w, 1e-12)
+            err = jnp.where(w > 0, err, 0.0)
+            s = jax.lax.psum(jnp.sum(err), axis)
+            n = jax.lax.psum(jnp.sum((w > 0).astype(r.dtype)), axis)
+            return s / jnp.maximum(n, 1.0)
+
+        def lm_step(state):
+            cam, pts, lam, cost, it, done = state
+            Jc, Jp, r = jacobian_blocks(local, cam, pts)
+            UtU = jnp.einsum("oki,okj->oij", Jc, Jc)
+            VtV = jnp.einsum("oki,okj->oij", Jp, Jp)
+            W = jnp.einsum("oki,okj->oij", Jc, Jp)
+            gc_o = jnp.einsum("oki,ok->oi", Jc, r)
+            gp_o = jnp.einsum("oki,ok->oi", Jp, r)
+            U = jax.lax.psum(jax.ops.segment_sum(UtU, obs_cam, num_segments=C), axis)
+            V = jax.lax.psum(jax.ops.segment_sum(VtV, obs_pt, num_segments=Pn), axis)
+            gc = jax.lax.psum(jax.ops.segment_sum(gc_o, obs_cam, num_segments=C), axis)
+            gp = jax.lax.psum(jax.ops.segment_sum(gp_o, obs_pt, num_segments=Pn), axis)
+            eps = 1e-8
+            dU = jnp.diagonal(U, axis1=-2, axis2=-1)
+            U = U + jnp.eye(6, dtype=U.dtype) * (lam * dU + eps)[..., None, :]
+            dV = jnp.diagonal(V, axis1=-2, axis2=-1)
+            V = V + jnp.eye(3, dtype=V.dtype) * (lam * dV + eps)[..., None, :]
+            Vinv = jnp.linalg.inv(V)
+
+            def matvec(xflat):
+                x = xflat.reshape(C, 6)
+                Ux = jnp.einsum("cij,cj->ci", U, x)
+                a = jnp.einsum("oji,oj->oi", W, x[obs_cam])
+                b = jax.lax.psum(jax.ops.segment_sum(a, obs_pt, num_segments=Pn), axis)
+                c = jnp.einsum("pij,pj->pi", Vinv, b)
+                d = jnp.einsum("oij,oj->oi", W, c[obs_pt])
+                e = jax.lax.psum(jax.ops.segment_sum(d, obs_cam, num_segments=C), axis)
+                return (Ux - e).reshape(-1)
+
+            cvp = jnp.einsum("pij,pj->pi", Vinv, gp)
+            dtmp = jnp.einsum("oij,oj->oi", W, cvp[obs_pt])
+            e_rhs = jax.lax.psum(jax.ops.segment_sum(dtmp, obs_cam, num_segments=C), axis)
+            b_rhs = (gc - e_rhs).reshape(-1)
+
+            dc = conjugate_gradient(matvec, b_rhs, num_iters=cg_iters).reshape(C, 6)
+            a2 = jnp.einsum("oji,oj->oi", W, dc[obs_cam])
+            b2 = jax.lax.psum(jax.ops.segment_sum(a2, obs_pt, num_segments=Pn), axis)
+            dp = jnp.einsum("pij,pj->pi", Vinv, gp - b2)
+
+            dc = jnp.where(cam_fixed[:, None], 0.0, dc)
+            cam_new = cam - dc
+            pts_new = pts - dp
+            new_cost = cost_fn(cam_new, pts_new)
+            finite = jnp.isfinite(new_cost)
+            improved = (new_cost < cost) & finite
+            cam = jnp.where(improved, cam_new, cam)
+            pts = jnp.where(improved, pts_new, pts)
+            lam = jnp.where(improved, lam * damping_down, lam * damping_up)
+            rel = (cost - new_cost) / jnp.maximum(cost, 1e-20)
+            done = done | (improved & (rel < ftol))
+            cost = jnp.where(improved, new_cost, cost)
+            return cam, pts, lam, cost, it + 1, done
+
+        def cond(state):
+            *_, it, done = state
+            return (it < max_iters) & jnp.logical_not(done)
+
+        cost0 = cost_fn(cam0, pts0)
+        err0 = mean_err(cam0, pts0)
+        state = (cam0, pts0, jnp.asarray(init_damping, pts0.dtype), cost0,
+                 jnp.asarray(0), jnp.asarray(False))
+        cam, pts, _, cost, it, _ = jax.lax.while_loop(cond, lm_step, state)
+        err1 = mean_err(cam, pts)
+        return cam, pts, cost0, cost, err0, err1, it
+
+    fn = shard_map(
+        lm_program,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, obs_spec, obs_spec, obs_spec, obs_spec, rep),
+        out_specs=(rep, rep, rep, rep, rep, rep, rep),
+        check_vma=False,
+    )
+    cam, pts, c0, c1, e0, e1, it = jax.jit(fn)(
+        problem.cam_params, problem.points, problem.K,
+        problem.obs_cam, problem.obs_pt, problem.obs_xy, problem.obs_w,
+        problem.cam_fixed,
+    )
+    return BAResult(
+        cam_params=cam, points=pts, initial_cost=c0, final_cost=c1,
+        initial_mean_error=e0, final_mean_error=e1, iterations_used=it,
+    )

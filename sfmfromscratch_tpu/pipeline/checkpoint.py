@@ -1,0 +1,68 @@
+"""Full-state checkpoint / resume for the incremental engine.
+
+The reference saves only (points, frame_idx, pt_idx) at the very end and can
+only re-visualize, never resume (Runner.py:357-359, 403-416; SURVEY.md §5.3-5.4).
+Here the complete reconstruction state — map, observations, poses, intrinsics,
+per-image track assignments, RNG key, progress cursor — round-trips through one
+npz, so a run can restart after any completed frame.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import TYPE_CHECKING
+
+import jax
+import numpy as np
+
+if TYPE_CHECKING:
+    from sfmfromscratch_tpu.pipeline.incremental import SfmEngine
+
+
+CHECKPOINT_VERSION = 1
+
+
+def save_checkpoint(engine: "SfmEngine", path: str, next_frame: int) -> str:
+    """Snapshot the engine after frame ``next_frame - 1`` is fully integrated."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    frames, tracks, xy = engine.map.observations()
+    kp_imgs = sorted(engine._kp_tracks.keys())
+    np.savez(
+        path,
+        version=CHECKPOINT_VERSION,
+        next_frame=next_frame,
+        points=engine.map.points(),
+        obs_frame=frames,
+        obs_track=tracks,
+        obs_xy=xy,
+        poses=np.array([np.hstack([rv, t]) for rv, t in engine.global_poses])
+        if engine.global_poses else np.zeros((0, 6)),
+        K=np.stack(engine.global_K) if engine.global_K else np.zeros((0, 3, 3)),
+        kp_track_images=np.asarray(kp_imgs, dtype=np.int64),
+        kp_tracks=np.stack([engine._kp_tracks[i] for i in kp_imgs])
+        if kp_imgs else np.zeros((0, 0), np.int64),
+        rng_key=jax.random.key_data(engine._rng_key),
+    )
+    return path
+
+
+def load_checkpoint(engine: "SfmEngine", path: str) -> int:
+    """Restore engine state; returns the frame index to resume from."""
+    from sfmfromscratch_tpu.pipeline.tracks import MapStore
+
+    z = np.load(path)
+    assert int(z["version"]) == CHECKPOINT_VERSION
+    m = MapStore()
+    pts = z["points"]
+    m._points = [p for p in pts]
+    m._obs_frame = [int(f) for f in z["obs_frame"]]
+    m._obs_track = [int(t) for t in z["obs_track"]]
+    m._obs_xy = [x for x in z["obs_xy"]]
+    engine.map = m
+    engine.global_poses = [(p[:3].copy(), p[3:].copy()) for p in z["poses"]]
+    engine.global_K = [k for k in z["K"]]
+    engine._kp_tracks = {
+        int(i): kt.copy() for i, kt in zip(z["kp_track_images"], z["kp_tracks"])
+    }
+    engine._rng_key = jax.random.wrap_key_data(z["rng_key"])
+    return int(z["next_frame"])

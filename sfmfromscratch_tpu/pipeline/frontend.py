@@ -1,0 +1,154 @@
+"""Feature frontend: scale/rotation-invariant RootSIFT over an image pyramid,
+plus the two-image ``FeatureRunner`` convenience wrapper.
+
+This is the engine's equivalent of the reference's extractor hierarchy
+(FeatureExtractor ABC -> NaiveSIFT -> ScaleRotInvSIFT,
+FeatureExtractor/SIFT/*.py) and of ``FeatureRunner`` (Runner.py:22-115).
+Per pyramid level the image shape is static, so each level is its own jitted
+program; levels of a multi-image batch vmap over the leading axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfmfromscratch_tpu.config import ExtractorConfig, MatcherConfig
+from sfmfromscratch_tpu.ops.harris import detect_harris_keypoints
+from sfmfromscratch_tpu.ops.image import build_pyramid, rgb_to_gray, resize_bilinear
+from sfmfromscratch_tpu.ops.matcher import match_ratio_test
+from sfmfromscratch_tpu.ops.sift import sift_descriptors
+from sfmfromscratch_tpu.types import Features, Keypoints, MatchResult
+
+
+def extract_features_single_scale(
+    image_bw: jax.Array,
+    cfg: ExtractorConfig,
+    k: Optional[int] = None,
+    feature_width: Optional[int] = None,
+    rotation_invariant: bool = False,
+) -> Features:
+    """NaiveSIFT-equivalent: Harris + RootSIFT at one scale
+    (reference NaiveSIFT.py:9-213)."""
+    k = k or cfg.num_interest_points
+    fw = feature_width or cfg.feature_width
+    kps = detect_harris_keypoints(
+        image_bw, k=k, feature_width=fw, nms_ksize=cfg.ksize,
+        gaussian_size=cfg.gaussian_size, sigma=cfg.sigma, alpha=cfg.alpha,
+    )
+    desc = sift_descriptors(
+        image_bw, kps.x, kps.y, kps.mask, feature_width=fw,
+        rotation_invariant=rotation_invariant,
+    )
+    return Features(keypoints=kps, descriptors=desc)
+
+
+def extract_features(image_bw: jax.Array, cfg: ExtractorConfig) -> Features:
+    """ScaleRotInvSIFT-equivalent: per-pyramid-level Harris + rotation-invariant
+    RootSIFT, keypoint coordinates rescaled to level-0 pixels
+    (reference ScaleRotInvSIFT.py:89-107).
+
+    Output capacity is ``(k // levels) * levels`` slots (reference budgets
+    ``int(k / levels)`` per level, ScaleRotInvSIFT.py:90).
+    """
+    levels = build_pyramid(image_bw, cfg.pyramid_level, cfg.pyramid_scale_factor)
+    per_level_k = int(cfg.num_interest_points / cfg.pyramid_level)
+    min_fw = 3
+
+    xs, ys, scores, masks, descs = [], [], [], [], []
+    for level, img in enumerate(levels):
+        scale = cfg.pyramid_scale_factor ** level
+        fw = max(int(cfg.feature_width / scale), min_fw)
+        feats = extract_features_single_scale(
+            img, cfg, k=per_level_k, feature_width=fw, rotation_invariant=True
+        )
+        kp = feats.keypoints
+        xs.append((kp.x.astype(jnp.float32) * scale).astype(jnp.int32))
+        ys.append((kp.y.astype(jnp.float32) * scale).astype(jnp.int32))
+        scores.append(kp.score)
+        masks.append(kp.mask)
+        descs.append(feats.descriptors)
+
+    kps = Keypoints(
+        x=jnp.concatenate(xs),
+        y=jnp.concatenate(ys),
+        score=jnp.concatenate(scores),
+        mask=jnp.concatenate(masks),
+    )
+    return Features(keypoints=kps, descriptors=jnp.concatenate(descs))
+
+
+def preprocess_image(img: np.ndarray, scale_factor: float) -> jax.Array:
+    """Host decode output -> scaled grayscale device array
+    (reference Runner.py:33-46: load, resize by scale_factor, rgb2gray)."""
+    arr = jnp.asarray(img, dtype=jnp.float32)
+    if arr.ndim == 3:
+        arr = rgb_to_gray(arr)
+    if scale_factor != 1.0:
+        h, w = arr.shape
+        arr = resize_bilinear(arr, (int(h * scale_factor), int(w * scale_factor)))
+    return arr
+
+
+@dataclasses.dataclass
+class FeatureRunner:
+    """Two-view feature pipeline: load -> resize -> gray -> extract -> match
+    (reference Runner.py:22-115). Operates on already-decoded numpy images or
+    file paths."""
+
+    features1: Features
+    features2: Features
+    matches: MatchResult
+    image1_bw: jax.Array
+    image2_bw: jax.Array
+
+    @classmethod
+    def run(
+        cls,
+        im1,
+        im2,
+        cfg: ExtractorConfig,
+        matcher_cfg: MatcherConfig = MatcherConfig(),
+        scale_factor: float = 0.5,
+    ) -> "FeatureRunner":
+        from sfmfromscratch_tpu.io.images import load_image
+
+        if isinstance(im1, str):
+            im1 = load_image(im1)
+        if isinstance(im2, str):
+            im2 = load_image(im2)
+        g1 = preprocess_image(im1, scale_factor)
+        g2 = preprocess_image(im2, scale_factor)
+        f1 = extract_features(g1, cfg)
+        f2 = extract_features(g2, cfg)
+        matches = match_ratio_test(
+            f1.descriptors,
+            f2.descriptors,
+            f1.keypoints.mask,
+            f2.keypoints.mask,
+            ratio_threshold=matcher_cfg.ratio_threshold,
+            max_matches=matcher_cfg.max_matches,
+        )
+        return cls(features1=f1, features2=f2, matches=matches, image1_bw=g1, image2_bw=g2)
+
+
+def matches_to_coords(
+    matches: MatchResult, f1: Features, f2: Features, num_matches: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Top-``num_matches`` match indices -> (p1, p2, mask) pixel coordinate
+    arrays (reference Runner.py:423-434 ``_convert_matches_to_coords``)."""
+    idx = matches.indices[:num_matches]
+    m = matches.mask[:num_matches]
+    p1 = jnp.stack(
+        [f1.keypoints.x[idx[:, 0]].astype(jnp.float32), f1.keypoints.y[idx[:, 0]].astype(jnp.float32)],
+        axis=-1,
+    )
+    p2 = jnp.stack(
+        [f2.keypoints.x[idx[:, 1]].astype(jnp.float32), f2.keypoints.y[idx[:, 1]].astype(jnp.float32)],
+        axis=-1,
+    )
+    return p1, p2, m

@@ -1,0 +1,377 @@
+"""Incremental Structure-from-Motion engine — the reference's ``SFMRunner``
+(Runner.py:128-416) rebuilt TPU-first.
+
+Host Python drives the sequential keyframe chain (the one truly serial part);
+every compute stage is a jitted batched device program:
+
+* STAGE A  pairwise features+matching: features are extracted ONCE per image
+  (the reference re-extracts per pair, Runner.py:344-346) and matched with the
+  blocked top-2 kernel; non-bootstrap pairs get vectorized-RANSAC inlier
+  filtering (reference ``find_inliers``, Runner.py:350-351).
+* STAGE B  bootstrap: vectorized essential-matrix RANSAC + batched DLT +
+  Gauss-Newton point refinement (reference Runner.py:194-218).
+* STAGE C  PnP chain: track propagation + batched PnP RANSAC (reference
+  Runner.py:221-287). Tracks link by shared keypoint index — an exact,
+  index-preserving replacement for the reference's 5-px nearest-neighbor
+  re-association (Runner.py:241-247) and its O(N^2) map dedup
+  (add_points, Runner.py:361-385); set ``assoc_mode='distance'`` for the
+  reference-faithful behavior.
+* STAGE D  global LM bundle adjustment with Schur/CG (reference
+  Runner.py:289-306).
+* STAGE E  persistence: npz artifact compatible with the reference's
+  ``save_data``/``load`` (Runner.py:357-359, 403-416) plus poses/K/errors —
+  state the reference drops (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfmfromscratch_tpu.config import PipelineConfig
+from sfmfromscratch_tpu.geometry.camera import SensorType, intrinsics_from_exif, projection_matrix
+from sfmfromscratch_tpu.geometry.pnp import pnp_ransac
+from sfmfromscratch_tpu.geometry.ransac import ransac_essential_pose, ransac_fundamental
+from sfmfromscratch_tpu.geometry.triangulation import refine_points_gn, triangulate_dlt
+from sfmfromscratch_tpu.ba.problem import make_problem
+from sfmfromscratch_tpu.ba.lm import bundle_adjust
+from sfmfromscratch_tpu.ops.lie import so3_log
+from sfmfromscratch_tpu.ops.matcher import match_ratio_test
+from sfmfromscratch_tpu.pipeline.frontend import extract_features, preprocess_image
+from sfmfromscratch_tpu.pipeline.tracks import MapStore
+from sfmfromscratch_tpu.types import Features, PairGeometry
+from sfmfromscratch_tpu.io.images import load_image
+
+
+class SfmEngine:
+    """Incremental SfM over an ordered image sequence.
+
+    Mirrors the reference CLI contract: images named ``<idx>.jpg`` with idx in
+    1..max_img under ``img_path`` (Runner.py:134-141, 340-346).
+    """
+
+    def __init__(
+        self,
+        img_path: str,
+        max_img: int,
+        config: Optional[PipelineConfig] = None,
+        single_K: Optional[np.ndarray] = None,
+        camera_sensor: Optional[SensorType] = None,
+        model_name: Optional[str] = None,
+        output_dir: str = "output",
+        assoc_mode: str = "index",
+        auto_run: bool = True,
+    ):
+        self.img_path = img_path
+        self.max_img = max_img
+        self.config = config or PipelineConfig()
+        self.single_K = single_K
+        self.camera_sensor = camera_sensor
+        self.model_name = model_name
+        self.output_dir = output_dir
+        assert assoc_mode in ("index", "distance")
+        self.assoc_mode = assoc_mode
+
+        self.map = MapStore()
+        self.global_poses: List[Tuple[np.ndarray, np.ndarray]] = []  # (rvec, t) per BA camera
+        self.global_K: List[np.ndarray] = []
+        self.pair_geometry: Dict[Tuple[int, int], PairGeometry] = {}
+        # track id per keypoint slot, per image (index association mode)
+        self._kp_tracks: Dict[int, np.ndarray] = {}
+        self.errors_before_after_ba: Tuple[float, float] = (np.nan, np.nan)
+        self.stage_times: Dict[str, float] = {}
+
+        self._rng_key = jax.random.key(self.config.seed)
+        self._num_hyp = self.config.ransac.num_iterations()
+
+        if auto_run:
+            self.run()
+
+    # ------------------------------------------------------------------ utils
+
+    def _next_key(self) -> jax.Array:
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        return sub
+
+    def _image_file(self, idx: int) -> str:
+        return os.path.join(self.img_path, f"{idx}.jpg")
+
+    def _intrinsics(self, idx: int) -> np.ndarray:
+        if self.single_K is not None:
+            return np.asarray(self.single_K, dtype=np.float64)
+        K = intrinsics_from_exif(self._image_file(idx), self.camera_sensor)
+        # Features live on images prescaled by scale_factor, so K must be
+        # scaled to match (the reference derives K at file resolution but
+        # detects at half scale — a consistency bug we do not reproduce).
+        s = self.config.scale_factor
+        return np.diag([s, s, 1.0]) @ K
+
+    # ------------------------------------------------------------------ stages
+
+    def _extract_all_features(self) -> Dict[int, Features]:
+        """Per-image feature extraction, each image exactly once."""
+        t0 = time.time()
+        feats: Dict[int, Features] = {}
+        for idx in range(1, self.max_img + 1):
+            img = load_image(self._image_file(idx))
+            g = preprocess_image(img, self.config.scale_factor)
+            feats[idx] = extract_features(g, self.config.extractor)
+            cap = feats[idx].keypoints.capacity
+            self._kp_tracks[idx] = np.full(cap, -1, dtype=np.int64)
+        self.stage_times["features"] = time.time() - t0
+        return feats
+
+    def _match_pairs(self, feats: Dict[int, Features]) -> None:
+        """Consecutive-pair matching + inlier filtering (STAGE A)."""
+        t0 = time.time()
+        mcfg = self.config.matcher
+        for i1 in range(1, self.max_img):
+            i2 = i1 + 1
+            f1, f2 = feats[i1], feats[i2]
+            matches = match_ratio_test(
+                f1.descriptors, f2.descriptors,
+                f1.keypoints.mask, f2.keypoints.mask,
+                ratio_threshold=mcfg.ratio_threshold,
+                max_matches=mcfg.max_matches,
+            )
+            idx1 = matches.indices[:, 0]
+            idx2 = matches.indices[:, 1]
+            p1 = jnp.stack(
+                [f1.keypoints.x[idx1].astype(jnp.float32), f1.keypoints.y[idx1].astype(jnp.float32)],
+                axis=-1,
+            )
+            p2 = jnp.stack(
+                [f2.keypoints.x[idx2].astype(jnp.float32), f2.keypoints.y[idx2].astype(jnp.float32)],
+                axis=-1,
+            )
+            mask = matches.mask
+            K1 = jnp.asarray(self._intrinsics(i1), dtype=jnp.float32)
+            K2 = jnp.asarray(self._intrinsics(i2), dtype=jnp.float32)
+            if (i1, i2) != (1, 2):
+                res = ransac_fundamental(
+                    self._next_key(), p1, p2, mask,
+                    num_hypotheses=self._num_hyp,
+                    threshold=self.config.ransac.epipolar_threshold,
+                )
+                mask = res.inliers
+            self.pair_geometry[(i1, i2)] = PairGeometry(
+                p1=p1, p2=p2, idx1=idx1, idx2=idx2, mask=mask, K1=K1, K2=K2
+            )
+            self.pair_geometry[(i2, i1)] = PairGeometry(
+                p1=p2, p2=p1, idx1=idx2, idx2=idx1, mask=mask, K1=K2, K2=K1
+            )
+        self.stage_times["matching"] = time.time() - t0
+
+    def _bootstrap(self):
+        """Initial pair (1,2): pose + triangulation (STAGE B)."""
+        t0 = time.time()
+        pg = self.pair_geometry[(1, 2)]
+        pose = ransac_essential_pose(
+            self._next_key(), pg.p1, pg.p2, pg.K1, pg.K2, pg.mask,
+            num_hypotheses=self._num_hyp,
+            threshold=self.config.ransac.epipolar_threshold,
+            min_cheirality_frac=0.75,
+        )
+        P1 = projection_matrix(jnp.eye(3), jnp.zeros(3), pg.K1)
+        P2 = projection_matrix(pose.R, pose.t, pg.K2)
+
+        inl = pose.inliers
+        p3d = triangulate_dlt(pg.p1, pg.p2, P1, P2)
+        p3d = refine_points_gn(p3d, pg.p1, pg.p2, P1, P2, mask=inl, num_iters=8)
+
+        inl_np = np.asarray(inl)
+        p3d_np = np.asarray(p3d, dtype=np.float64)
+        p2_np = np.asarray(pg.p2, dtype=np.float64)
+
+        # Frame 0 of the BA problem observes through the second physical image
+        # (the identity base camera never enters BA — reference Runner.py:212-218).
+        track_ids = self.map.add_tracks(p3d_np, p2_np, frame_idx=0, mask=inl_np)
+        self._kp_tracks[2][np.asarray(pg.idx2)[inl_np]] = track_ids[inl_np]
+
+        rvec = np.asarray(so3_log(pose.R), dtype=np.float64)
+        self.global_poses.append((rvec, np.asarray(pose.t, dtype=np.float64)))
+        self.global_K.append(np.asarray(pg.K2, dtype=np.float64))
+        self.stage_times["bootstrap"] = time.time() - t0
+        return p3d_np[inl_np], p2_np[inl_np], track_ids[inl_np], P2
+
+    @staticmethod
+    def _associate_by_distance(prev_obs_2d: np.ndarray, pair_p1: np.ndarray, dist_threshold: float):
+        """Reference-faithful association: nearest established observation in
+        the shared frame within the gate (Runner.py:241-247), vectorized."""
+        if len(prev_obs_2d) == 0 or len(pair_p1) == 0:
+            return np.full(len(pair_p1), -1, np.int64)
+        d = np.linalg.norm(pair_p1[:, None, :] - prev_obs_2d[None, :, :], axis=2)
+        nearest = np.argmin(d, axis=1)
+        ok = d[np.arange(len(pair_p1)), nearest] < dist_threshold
+        return np.where(ok, nearest, -1)
+
+    def _chain(self, p3d, p2_obs, track_ids, P2) -> None:
+        """Sequential PnP chain over frames 3..max_img (STAGE C).
+
+        Every device call runs at the fixed match capacity with masks, so the
+        whole chain reuses ONE compiled program per stage regardless of how
+        many matches/associations each pair produced (XLA static shapes;
+        SURVEY.md §7.3)."""
+        t0 = time.time()
+        for i in range(2, self.max_img):
+            j = i + 1
+            pg = self.pair_geometry[(i, j)]
+            mask_np = np.asarray(pg.mask)
+            p1_np = np.asarray(pg.p1, dtype=np.float64)
+            p2_np = np.asarray(pg.p2, dtype=np.float64)
+            idx1_np = np.asarray(pg.idx1)
+            idx2_np = np.asarray(pg.idx2)
+
+            if self.assoc_mode == "index":
+                # A match whose image-i keypoint already carries a track links
+                # the new frame to the existing 3-D point.
+                linked = np.where(mask_np, self._kp_tracks[i][idx1_np], -1)
+                sel = linked >= 0
+                known_tracks = np.where(sel, linked, 0)
+                X_known = self.map.points()[known_tracks]
+            else:
+                assoc = self._associate_by_distance(p2_obs, p1_np, self.config.dist_threshold)
+                assoc = np.where(mask_np, assoc, -1)
+                sel = assoc >= 0
+                known_tracks = np.where(sel, track_ids[np.where(sel, assoc, 0)], 0)
+                X_known = p3d[np.where(sel, assoc, 0)]
+
+            if sel.sum() < 6:
+                raise RuntimeError(
+                    f"Cannot determine pose for pair ({i}, {j}): "
+                    f"only {int(sel.sum())} 2D-3D associations"
+                )
+
+            pose = pnp_ransac(
+                self._next_key(),
+                jnp.asarray(X_known, dtype=jnp.float32),
+                jnp.asarray(p2_np, dtype=jnp.float32),
+                pg.K2,
+                mask=jnp.asarray(sel),
+                num_hypotheses=self._num_hyp,
+                reproj_threshold=self.config.ransac.pnp_reproj_threshold,
+            )
+            if not bool(pose.ok):
+                raise RuntimeError(f"Cannot determine pose for pair ({i}, {j})")
+
+            current_frame = len(self.global_poses)  # next BA camera index
+
+            # Re-observe known tracks in the new frame (reference
+            # add_points(result_prev, result_next, current_frame)).
+            pnp_inl = np.asarray(pose.inliers) & sel
+            self.map.add_observations(
+                np.where(pnp_inl, known_tracks, -1), p2_np, current_frame
+            )
+            self._kp_tracks[j][idx2_np[pnp_inl]] = known_tracks[pnp_inl]
+
+            # Triangulate the pair's remaining matches against the chained
+            # projections; they become new tracks.
+            P1 = P2
+            P2 = projection_matrix(pose.R, pose.t, pg.K2)
+            new_sel = mask_np & ~sel if self.assoc_mode == "index" else mask_np
+            p1_j = jnp.asarray(p1_np, dtype=jnp.float32)
+            p2_j = jnp.asarray(p2_np, dtype=jnp.float32)
+            X_new = triangulate_dlt(p1_j, p2_j, P1, P2)
+            X_new = refine_points_gn(
+                X_new, p1_j, p2_j, P1, P2, mask=jnp.asarray(new_sel), num_iters=8
+            )
+            X_new_np = np.asarray(X_new, dtype=np.float64)
+            # Positive-depth gate for fresh tracks (both cameras).
+            ok_new = new_sel & self._cheirality_np(X_new_np, P1, P2)
+            new_ids = self.map.add_tracks(X_new_np, p2_np, current_frame, mask=ok_new)
+            self._kp_tracks[j][idx2_np[ok_new]] = new_ids[ok_new]
+
+            p3d = X_new_np[ok_new]
+            p2_obs = p2_np[ok_new]
+            track_ids = new_ids[ok_new]
+
+            rvec = np.asarray(so3_log(pose.R), dtype=np.float64)
+            self.global_poses.append((rvec, np.asarray(pose.t, dtype=np.float64)))
+            self.global_K.append(np.asarray(pg.K2, dtype=np.float64))
+        self.stage_times["chain"] = time.time() - t0
+
+    @staticmethod
+    def _cheirality_np(X: np.ndarray, P1, P2) -> np.ndarray:
+        P1n, P2n = np.asarray(P1, np.float64), np.asarray(P2, np.float64)
+        Xh = np.concatenate([X, np.ones((len(X), 1))], axis=1)
+        z1 = (Xh @ P1n.T)[:, 2]
+        z2 = (Xh @ P2n.T)[:, 2]
+        return (z1 > 1e-6) & (z2 > 1e-6)
+
+    def _global_ba(self) -> None:
+        """Global bundle adjustment (STAGE D)."""
+        t0 = time.time()
+        frames, tracks, xy = self.map.observations()
+        cam_params = np.array([np.hstack([rv, t]) for rv, t in self.global_poses])
+        problem = make_problem(
+            cam_params, self.map.points(), frames, tracks, xy,
+            np.stack(self.global_K),
+        )
+        ba_cfg = self.config.ba
+        res = bundle_adjust(
+            problem,
+            max_iters=ba_cfg.max_lm_iters,
+            cg_iters=60,
+            init_damping=ba_cfg.init_damping,
+            damping_up=ba_cfg.damping_up,
+            damping_down=ba_cfg.damping_down,
+            ftol=ba_cfg.ftol,
+        )
+        self.errors_before_after_ba = (
+            float(res.initial_mean_error), float(res.final_mean_error)
+        )
+        self.map.update_points(np.asarray(res.points, dtype=np.float64))
+        self.global_poses = [
+            (np.asarray(c[:3], np.float64), np.asarray(c[3:], np.float64))
+            for c in np.asarray(res.cam_params)
+        ]
+        self.stage_times["ba"] = time.time() - t0
+
+    # ------------------------------------------------------------------ driver
+
+    def run(self) -> "SfmEngine":
+        feats = self._extract_all_features()
+        self._match_pairs(feats)
+        p3d, p2_obs, track_ids, P2 = self._bootstrap()
+        self._chain(p3d, p2_obs, track_ids, P2)
+        self._global_ba()
+        if self.model_name is not None:
+            self.save_data()
+        return self
+
+    # ------------------------------------------------------------------ persistence
+
+    def save_data(self) -> str:
+        """Persist the reconstruction. Superset of the reference npz layout
+        (p3d / frame_idx / pt_idx, Runner.py:357-359) plus poses, K and errors —
+        full state the reference loses (SURVEY.md §5.4)."""
+        os.makedirs(self.output_dir, exist_ok=True)
+        frames, tracks, xy = self.map.observations()
+        path = os.path.join(self.output_dir, f"{self.model_name}.npz")
+        np.savez(
+            path,
+            p3d=self.map.points(),
+            frame_idx=frames,
+            pt_idx=tracks,
+            obs_xy=xy,
+            poses=np.array([np.hstack([rv, t]) for rv, t in self.global_poses]),
+            K=np.stack(self.global_K) if self.global_K else np.zeros((0, 3, 3)),
+            errors_ba=np.array(self.errors_before_after_ba),
+        )
+        return path
+
+    @staticmethod
+    def load(model_name: str, output_dir: str = "output", show: bool = True):
+        """Load a saved model; optionally open the 3-D viewer
+        (reference Runner.py:403-416)."""
+        npz = np.load(os.path.join(output_dir, f"{model_name}.npz"))
+        if show:
+            from sfmfromscratch_tpu.viz.scatter3d import V3D
+
+            return V3D(npz["p3d"], npz["frame_idx"], npz["pt_idx"])
+        return dict(npz)

@@ -1,0 +1,68 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX imports.
+
+This is the standard JAX substitute for a fake distributed backend (SURVEY.md §4):
+sharding/collective tests run against 8 virtual CPU devices, and the same code
+paths run unchanged on a real TPU slice.
+"""
+
+import os
+
+# Must happen before jax initializes its backends. Force CPU: the session
+# pre-imports jax with jax_platforms pinned to the tunneled TPU ('axon,cpu'),
+# so both the env var AND the config must be overridden. Tests run on the
+# virtual 8-device CPU mesh; set SFM_TEST_TPU=1 to run on the real chip.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+if not os.environ.get("SFM_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(5)
+
+
+def synthetic_scene(rng, num_points=64, noise=0.0, img_size=(640, 480)):
+    """A random well-conditioned two-view scene with known ground truth."""
+    import numpy as np
+
+    w, h = img_size
+    K = np.array([[520.0, 0.0, w / 2], [0.0, 520.0, h / 2], [0.0, 0.0, 1.0]])
+    # Points in a box in front of both cameras.
+    X = np.stack(
+        [
+            rng.uniform(-2.0, 2.0, num_points),
+            rng.uniform(-1.5, 1.5, num_points),
+            rng.uniform(4.0, 9.0, num_points),
+        ],
+        axis=1,
+    )
+    R1, t1 = np.eye(3), np.zeros(3)
+    # Second camera: small rotation + translation.
+    from scipy.spatial.transform import Rotation
+
+    R2 = Rotation.from_rotvec([0.03, -0.25, 0.02]).as_matrix()
+    t2 = np.array([-0.8, 0.05, 0.1])
+
+    def project(X, R, t):
+        c = X @ R.T + t
+        p = c @ K.T
+        return p[:, :2] / p[:, 2:3]
+
+    p1 = project(X, R1, t1) + noise * rng.standard_normal((num_points, 2))
+    p2 = project(X, R2, t2) + noise * rng.standard_normal((num_points, 2))
+    return dict(K=K, X=X, R1=R1, t1=t1, R2=R2, t2=t2, p1=p1, p2=p2)
+
+
+@pytest.fixture
+def scene(rng):
+    return synthetic_scene(rng)

@@ -1,0 +1,129 @@
+"""Auxiliary subsystems: metrics, checkpoint/resume, CLI, config."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sfmfromscratch_tpu.config import ExtractorConfig, RansacConfig
+from sfmfromscratch_tpu.utils.metrics import (
+    MetricsLogger,
+    absolute_trajectory_error,
+    camera_centers,
+    umeyama_alignment,
+)
+
+
+def test_extractor_config_from_reference_dict():
+    # The reference demo dict (main.py:19-28) maps verbatim.
+    params = {
+        "num_interest_points": 2500, "ksize": 3, "gaussian_size": 7,
+        "sigma": 6, "alpha": 0.05, "feature_width": 18,
+        "pyramid_level": 3, "pyramid_scale_factor": 1.1,
+    }
+    cfg = ExtractorConfig.from_params_dict(params)
+    assert cfg.num_interest_points == 2500
+    assert cfg.feature_width == 18
+    assert cfg.pyramid_scale_factor == 1.1
+
+
+def test_ransac_iteration_count_matches_reference():
+    # calculate_num_ransac_iterations(0.98, 8, 0.4) = 5967 (SFM.py:184-187).
+    assert RansacConfig().num_iterations() == 5967
+
+
+def test_umeyama_roundtrip(rng):
+    from scipy.spatial.transform import Rotation
+
+    src = rng.standard_normal((40, 3))
+    R = Rotation.from_rotvec([0.3, -0.2, 0.5]).as_matrix()
+    s, t = 2.5, np.array([1.0, -2.0, 0.5])
+    dst = s * src @ R.T + t
+    R2, t2, s2 = umeyama_alignment(src, dst)
+    np.testing.assert_allclose(R2, R, atol=1e-8)
+    np.testing.assert_allclose(t2, t, atol=1e-8)
+    assert abs(s2 - s) < 1e-8
+
+
+def test_ate_zero_for_gauge_transformed(rng):
+    from scipy.spatial.transform import Rotation
+
+    gt = rng.standard_normal((10, 3))
+    R = Rotation.from_rotvec([0.1, 0.7, -0.3]).as_matrix()
+    est = 0.7 * gt @ R.T + np.array([3, 2, 1])
+    assert absolute_trajectory_error(est, gt) < 1e-8
+    assert absolute_trajectory_error(est + 0.1 * rng.standard_normal((10, 3)), gt) > 0.01
+
+
+def test_camera_centers():
+    rv = np.zeros((2, 3))
+    t = np.array([[1.0, 0, 0], [0, 2.0, 0]])
+    C = camera_centers(rv, t)
+    np.testing.assert_allclose(C, -t, atol=1e-12)
+
+
+def test_metrics_logger(tmp_path):
+    p = tmp_path / "metrics.jsonl"
+    m = MetricsLogger(str(p))
+    m.log("ba", reproj_rmse=0.5, iters=12)
+    m.log("frame", fps=3.2)
+    m.close()
+    lines = [json.loads(l) for l in p.read_text().splitlines()]
+    assert lines[0]["event"] == "ba"
+    assert lines[1]["fps"] == 3.2
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    """Engine state survives save/load byte-for-byte."""
+    import jax
+    from sfmfromscratch_tpu.pipeline.incremental import SfmEngine
+    from sfmfromscratch_tpu.pipeline.checkpoint import save_checkpoint, load_checkpoint
+
+    eng = SfmEngine.__new__(SfmEngine)  # bare engine, no run
+    from sfmfromscratch_tpu.pipeline.tracks import MapStore
+    from sfmfromscratch_tpu.config import PipelineConfig
+
+    eng.config = PipelineConfig()
+    eng.map = MapStore()
+    ids = eng.map.add_tracks(rng.standard_normal((5, 3)), rng.uniform(0, 100, (5, 2)), 0)
+    eng.map.add_observations(ids, rng.uniform(0, 100, (5, 2)), 1)
+    eng.global_poses = [(rng.standard_normal(3), rng.standard_normal(3))]
+    eng.global_K = [np.eye(3)]
+    eng._kp_tracks = {1: np.full(16, -1, np.int64), 2: np.arange(16, dtype=np.int64)}
+    eng._rng_key = jax.random.key(5)
+
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(eng, path, next_frame=3)
+
+    eng2 = SfmEngine.__new__(SfmEngine)
+    eng2.config = PipelineConfig()
+    nxt = load_checkpoint(eng2, path)
+    assert nxt == 3
+    np.testing.assert_allclose(eng2.map.points(), eng.map.points())
+    f1, t1, xy1 = eng.map.observations()
+    f2, t2, xy2 = eng2.map.observations()
+    np.testing.assert_array_equal(f1, f2)
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_allclose(xy1, xy2)
+    np.testing.assert_array_equal(eng2._kp_tracks[2], eng._kp_tracks[2])
+    np.testing.assert_allclose(
+        np.asarray(jax.random.key_data(eng2._rng_key)),
+        np.asarray(jax.random.key_data(eng._rng_key)),
+    )
+
+
+def test_cli_help_and_resize(tmp_path):
+    from sfmfromscratch_tpu.cli import main
+    from PIL import Image
+
+    with pytest.raises(SystemExit):
+        main(["--help"])
+
+    src = tmp_path / "in"
+    dst = tmp_path / "out"
+    src.mkdir()
+    Image.new("RGB", (100, 80)).save(src / "a.jpg")
+    assert main(["resize", str(src), str(dst), "--ratio", "0.5", "--no-exif"]) == 0
+    with Image.open(dst / "a.jpg") as im:
+        assert im.size == (50, 40)

@@ -1,0 +1,95 @@
+import os
+
+import numpy as np
+import pytest
+
+from sfmfromscratch_tpu.config import (
+    ExtractorConfig,
+    MatcherConfig,
+    PipelineConfig,
+    RansacConfig,
+    BundleAdjustConfig,
+)
+from sfmfromscratch_tpu.pipeline.incremental import SfmEngine
+from sfmfromscratch_tpu.ops.lie import so3_exp
+from tests.render import render_sequence, write_sequence
+
+
+@pytest.fixture(scope="module")
+def rendered(tmp_path_factory):
+    rng = np.random.default_rng(42)
+    images, K, poses, X = render_sequence(rng, num_views=4, num_points=110)
+    d = tmp_path_factory.mktemp("seq")
+    write_sequence(str(d), images)
+    return dict(dir=str(d), K=K, poses=poses, X=X, n=len(images))
+
+
+def _small_config():
+    return PipelineConfig(
+        extractor=ExtractorConfig(
+            num_interest_points=400, ksize=3, gaussian_size=7, sigma=3.0,
+            alpha=0.05, feature_width=16, pyramid_level=2, pyramid_scale_factor=1.2,
+        ),
+        matcher=MatcherConfig(ratio_threshold=0.85, max_matches=400),
+        ransac=RansacConfig(max_iterations=384),
+        ba=BundleAdjustConfig(max_lm_iters=15, ftol=1e-6),
+        scale_factor=1.0,
+        dist_threshold=5.0,
+    )
+
+
+@pytest.fixture(scope="module")
+def engine(rendered, tmp_path_factory):
+    out = tmp_path_factory.mktemp("out")
+    return SfmEngine(
+        rendered["dir"], rendered["n"], config=_small_config(),
+        single_K=rendered["K"], model_name="testmodel", output_dir=str(out),
+    )
+
+
+def test_engine_reconstructs(engine, rendered):
+    assert engine.map.num_tracks > 40
+    assert len(engine.global_poses) == rendered["n"] - 1
+    err_before, err_after = engine.errors_before_after_ba
+    assert err_after <= err_before + 1e-6
+    assert err_after < 3.0
+
+
+def test_engine_poses_match_ground_truth(engine, rendered):
+    """Relative rotations of consecutive reconstructed cameras should match the
+    ground-truth motion within a few degrees."""
+    gt = rendered["poses"]
+    for k in range(len(engine.global_poses) - 1):
+        rvec_a, _ = engine.global_poses[k]
+        rvec_b, _ = engine.global_poses[k + 1]
+        Ra = np.asarray(so3_exp(rvec_a.astype(np.float32)))
+        Rb = np.asarray(so3_exp(rvec_b.astype(np.float32)))
+        rel = Rb @ Ra.T
+        # BA camera k corresponds to physical view k+1.
+        gt_rel = gt[k + 2][0] @ gt[k + 1][0].T
+        dR = rel @ gt_rel.T
+        ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        assert ang < 5.0, f"pair {k}: {ang:.2f} deg"
+
+
+def test_engine_saves_and_loads(engine):
+    path = os.path.join(engine.output_dir, "testmodel.npz")
+    assert os.path.exists(path)
+    data = SfmEngine.load("testmodel", output_dir=engine.output_dir, show=False)
+    assert data["p3d"].shape[1] == 3
+    assert len(data["frame_idx"]) == len(data["pt_idx"])
+    # Full state saved (poses + K) — the reference loses these (SURVEY.md §5.4).
+    assert data["poses"].shape == (len(engine.global_poses), 6)
+    assert data["K"].shape[0] == len(engine.global_K)
+
+
+def test_viewer_headless(engine, tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    from sfmfromscratch_tpu.viz.scatter3d import V3D
+
+    frames, tracks, _ = engine.map.observations()
+    v = V3D(engine.map.points(), frames, tracks, show=False,
+            save_path=str(tmp_path / "cloud.png"))
+    assert (tmp_path / "cloud.png").exists()
