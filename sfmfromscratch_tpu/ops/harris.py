@@ -58,7 +58,10 @@ def _window_max(R: jax.Array, ksize: int) -> jax.Array:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "feature_width", "nms_ksize", "gaussian_size"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "feature_width", "nms_ksize", "gaussian_size", "use_pallas"),
+)
 def detect_harris_keypoints(
     image: jax.Array,
     k: int,
@@ -67,15 +70,23 @@ def detect_harris_keypoints(
     gaussian_size: int,
     sigma: float,
     alpha: float,
+    use_pallas: bool = False,
 ) -> Keypoints:
     """Top-k Harris keypoints of one (H, W) image, fixed capacity k with mask.
 
     Returns ``Keypoints`` sorted by descending response. Matches the candidate
     set and ordering of the reference (NaiveSIFT.py:54-120) without any host
     round trip. For a batch of same-shape images, ``jax.vmap`` this function.
+    ``use_pallas`` switches the response map to the fused single-pass kernel
+    (ops/pallas/harris_kernel.py) on TPU backends.
     """
     H, W = image.shape
-    R = harris_response(image, gaussian_size, sigma, alpha)
+    if use_pallas:
+        from sfmfromscratch_tpu.ops.pallas.harris_kernel import harris_response_fused
+
+        R = harris_response_fused(image, gaussian_size, sigma, alpha)
+    else:
+        R = harris_response(image, gaussian_size, sigma, alpha)
     Rmax = _window_max(R, nms_ksize)
     median = jnp.median(R)
     is_local_max = (R == Rmax) & (R >= median)

@@ -33,7 +33,7 @@ def pairwise_sq_dists(d1: jax.Array, d2: jax.Array) -> jax.Array:
     return jnp.maximum(n1sq + n2sq - 2.0 * cross, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_matches",))
+@functools.partial(jax.jit, static_argnames=("max_matches", "use_pallas"))
 def match_ratio_test(
     d1: jax.Array,
     d2: jax.Array,
@@ -41,25 +41,38 @@ def match_ratio_test(
     mask2: Optional[jax.Array] = None,
     ratio_threshold: float = 0.8,
     max_matches: Optional[int] = None,
+    use_pallas: bool = False,
 ) -> MatchResult:
     """Lowe's ratio-test matching, asymmetric (queries = rows of d1), matching
     reference semantics: accept row i iff d_first / d_second <= ratio and the
     second-best distance is > 0; output sorted ascending by ratio.
 
     Invalid rows/columns (masks) are excluded. Output capacity is
-    ``max_matches`` (default n1) with a validity mask.
+    ``max_matches`` (default n1) with a validity mask. ``use_pallas`` routes
+    the distance/top-2 core through the fused VMEM-resident kernel
+    (ops/pallas/match_kernel.py) on TPU backends.
     """
     n1 = d1.shape[0]
-    cap = max_matches if max_matches is not None else n1
+    # Capacity can never exceed the number of query rows (e.g. a 3-level
+    # pyramid yields floor(k/3)*3 descriptors — fewer than the requested k).
+    cap = min(max_matches, n1) if max_matches is not None else n1
 
-    sq = pairwise_sq_dists(d1, d2)
-    if mask2 is not None:
-        sq = jnp.where(mask2[None, :], sq, _BIG)
-    # Need the two smallest distances per row.
-    neg_top2, _idx2 = jax.lax.top_k(-sq, 2)
-    dist1 = jnp.sqrt(jnp.maximum(-neg_top2[:, 0], 0.0))
-    dist2 = jnp.sqrt(jnp.maximum(-neg_top2[:, 1], 0.0))
-    nearest = _idx2[:, 0].astype(jnp.int32)
+    if use_pallas:
+        from sfmfromscratch_tpu.ops.pallas.match_kernel import match_top2_fused
+
+        sq1, sq2, nearest = match_top2_fused(d1, d2, mask2)
+        dist1 = jnp.sqrt(sq1)
+        dist2 = jnp.sqrt(sq2)
+        nearest = nearest.astype(jnp.int32)
+    else:
+        sq = pairwise_sq_dists(d1, d2)
+        if mask2 is not None:
+            sq = jnp.where(mask2[None, :], sq, _BIG)
+        # Need the two smallest distances per row.
+        neg_top2, _idx2 = jax.lax.top_k(-sq, 2)
+        dist1 = jnp.sqrt(jnp.maximum(-neg_top2[:, 0], 0.0))
+        dist2 = jnp.sqrt(jnp.maximum(-neg_top2[:, 1], 0.0))
+        nearest = _idx2[:, 0].astype(jnp.int32)
 
     ratio = dist1 / jnp.maximum(dist2, 1e-12)
     ok = (dist2 > 0) & (ratio <= ratio_threshold) & (dist2 < jnp.sqrt(_BIG) - 1)

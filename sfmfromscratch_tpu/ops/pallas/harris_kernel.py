@@ -1,0 +1,130 @@
+"""Fused Harris-response Pallas kernel.
+
+The XLA path (ops/harris.py) runs 5 convolutions with 6 intermediate HBM
+arrays (Ix, Iy, Ix^2, Iy^2, IxIy, 3 smoothed maps). This kernel computes the
+whole response in one VMEM-resident pass — one HBM read of the image, one HBM
+write of R — which matters because the frontend is bandwidth-bound, not
+FLOP-bound (SURVEY.md §7; pallas_guide.md: HBM->VMEM->compute).
+
+Implementation notes:
+* Sobel and the Gaussian are separable; both passes are unrolled shift-
+  multiply-accumulate chains on the VPU over the full image block.
+* Zero padding reproduces cv2.filter2D(BORDER_CONSTANT) semantics
+  (reference NaiveSIFT.py:67-69, 212-213).
+* The image is processed as a single VMEM block (grayscale float32 SfM frames
+  are a few MB — VMEM is ~16 MB; `harris_response_fused` falls back to the XLA
+  path for images that don't fit).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sfmfromscratch_tpu.ops.harris import harris_response as harris_response_xla
+
+# Whole-block kernel budget: image + ~6 temporaries in f32.
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def _shift(x: jax.Array, dr: int, dc: int) -> jax.Array:
+    """result[i, j] = x[i + dr, j + dc] with zeros outside.
+
+    dr/dc are Python ints, so this is a static lax.slice — Mosaic does not
+    lower dynamic_slice on values inside TC kernels."""
+    H, W = x.shape
+    padded = jnp.pad(x, ((abs(dr), abs(dr)), (abs(dc), abs(dc))))
+    r0 = abs(dr) + dr
+    c0 = abs(dc) + dc
+    return jax.lax.slice(padded, (r0, c0), (r0 + H, c0 + W))
+
+
+def _sep_conv(x: jax.Array, row_taps, col_taps) -> jax.Array:
+    """Separable cross-correlation with zero padding: rows then columns."""
+    acc = None
+    half_r = len(row_taps) // 2
+    for k, w in enumerate(row_taps):
+        if isinstance(w, float) and w == 0.0:  # static zero taps only
+            continue
+        term = _shift(x, 0, k - half_r) * w
+        acc = term if acc is None else acc + term
+    y = acc
+    acc = None
+    half_c = len(col_taps) // 2
+    for k, w in enumerate(col_taps):
+        if isinstance(w, float) and w == 0.0:
+            continue
+        term = _shift(y, k - half_c, 0) * w
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _harris_kernel(gauss_ref, alpha_ref, img_ref, out_ref):
+    img = img_ref[:]
+    # Sobel (cross-correlation taps; reference NaiveSIFT.py:23-31):
+    #   Kx = [1,2,1]^T x [-1,0,1],  Ky = [-1,0,1]^T x [1,2,1]
+    Ix = _sep_conv(img, (-1.0, 0.0, 1.0), (1.0, 2.0, 1.0))
+    Iy = _sep_conv(img, (1.0, 2.0, 1.0), (-1.0, 0.0, 1.0))
+
+    g = gauss_ref[0, :]
+    taps = tuple(g[k] for k in range(gauss_ref.shape[1]))
+    Sxx = _sep_conv(Ix * Ix, taps, taps)
+    Sxy = _sep_conv(Ix * Iy, taps, taps)
+    Syy = _sep_conv(Iy * Iy, taps, taps)
+
+    det = Sxx * Syy - Sxy * Sxy
+    trace = Sxx + Syy
+    out_ref[:] = det - alpha_ref[0, 0] * trace * trace
+
+
+@functools.partial(jax.jit, static_argnames=("gaussian_size", "interpret"))
+def harris_response_pallas(
+    image: jax.Array,
+    gaussian_size: int,
+    sigma,
+    alpha,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas fused Harris response. ``image`` is (H, W) float32.
+
+    NOTE: the separable Gaussian here is mathematically identical to the
+    reference's dense normalized kernel because a product of 1-D Gaussians
+    normalized jointly equals the normalized 2-D kernel.
+    """
+    # 1-D factor of the reference's normalized 2-D Gaussian: outer(g1, g1)
+    # with g1 = e / sum(e) equals the jointly-normalized dense kernel
+    # (NaiveSIFT.py:175-199) exactly.
+    mean = gaussian_size // 2
+    axis = jnp.asarray(np.linspace(-mean, mean, gaussian_size), dtype=image.dtype)
+    e = jnp.exp(-(axis ** 2) / (2.0 * jnp.asarray(sigma, image.dtype) ** 2))
+    g1 = e / jnp.sum(e)
+    g_row = g1[None, :]
+
+    alpha_arr = jnp.asarray([[alpha]], dtype=image.dtype)
+    return pl.pallas_call(
+        _harris_kernel,
+        out_shape=jax.ShapeDtypeStruct(image.shape, image.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(g_row, alpha_arr, image)
+
+
+def harris_response_fused(
+    image: jax.Array, gaussian_size: int, sigma, alpha, interpret: bool = False
+) -> jax.Array:
+    """Fused Harris response with automatic XLA fallback for oversized images."""
+    H, W = image.shape
+    if H * W * 4 * 8 > _VMEM_BUDGET_BYTES:
+        return harris_response_xla(image, gaussian_size, sigma, alpha)
+    return harris_response_pallas(image, gaussian_size, sigma, alpha, interpret=interpret)

@@ -1,0 +1,117 @@
+"""Fused blocked top-2 descriptor-matching Pallas kernel.
+
+Computes, for every query descriptor, the two nearest database descriptors
+(squared Euclidean) WITHOUT materializing the (n1, n2) distance matrix in HBM:
+each grid step holds a (TM, D) query tile in VMEM, streams the database in
+(TN, D) column tiles through the MXU (dist^2 ranking via n2sq - 2 a.b^T), and
+maintains a running top-2 merge on the VPU.
+
+Replaces the HBM round trip of the XLA path (ops/matcher.py: full (n1, n2)
+matrix + lax.top_k) — the TP-style blocked-matmul matcher the north star names
+(BASELINE.json; reference hot loop NNRatioFeatureMatcher.py:31-41).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TM = 256   # query tile rows
+_TN = 512   # database tile columns
+
+
+def _match_kernel(d1_ref, d2_ref, n2sq_ref, dist1_ref, dist2_ref, idx_ref):
+    TM = d1_ref.shape[0]
+    n2 = d2_ref.shape[0]
+    TN = min(_TN, n2)
+    num_tiles = pl.cdiv(n2, TN)
+
+    d1 = d1_ref[:]                     # (TM, D)
+    big = jnp.float32(1e30)
+
+    def body(t, carry):
+        b1, i1, b2 = carry
+        start = t * TN
+        d2_tile = d2_ref[pl.ds(start, TN), :]          # (TN, D)
+        n2sq = n2sq_ref[0, pl.ds(start, TN)]           # (TN,)
+        cross = jax.lax.dot_general(
+            d1, d2_tile,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # (TM, TN)
+        cur = n2sq[None, :] - 2.0 * cross
+        # Mask columns past n2 (last ragged tile).
+        cols = jax.lax.broadcasted_iota(jnp.int32, (TM, TN), 1) + start
+        cur = jnp.where(cols < n2, cur, big)
+
+        min1 = jnp.min(cur, axis=1)
+        arg1 = jnp.argmin(cur, axis=1).astype(jnp.int32)
+        local_cols = jax.lax.broadcasted_iota(jnp.int32, (TM, TN), 1)
+        masked = jnp.where(local_cols == arg1[:, None], big, cur)
+        min2 = jnp.min(masked, axis=1)
+        g1 = arg1 + start
+
+        new_b1 = jnp.minimum(b1, min1)
+        new_i1 = jnp.where(b1 <= min1, i1, g1)
+        new_b2 = jnp.minimum(jnp.maximum(b1, min1), jnp.minimum(b2, min2))
+        return new_b1, new_i1, new_b2
+
+    init = (
+        jnp.full((TM,), big, jnp.float32),
+        jnp.zeros((TM,), jnp.int32),
+        jnp.full((TM,), big, jnp.float32),
+    )
+    b1, i1, b2 = jax.lax.fori_loop(0, num_tiles, body, init)
+    dist1_ref[:, 0] = b1
+    dist2_ref[:, 0] = b2
+    idx_ref[:, 0] = i1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def match_top2_fused(d1: jax.Array, d2: jax.Array, mask2=None, interpret: bool = False):
+    """(dist1, dist2, idx): per-query nearest and second-nearest squared
+    distances (actual, including the ||a||^2 term) and the nearest index.
+
+    d1: (n1, D) queries; d2: (n2, D) database; both float32. Masked database
+    rows are excluded by inflating their ||b||^2 term past the tile sentinel.
+    """
+    n1, D = d1.shape
+    n2 = d2.shape[0]
+    TM = min(_TM, n1)
+    grid = (pl.cdiv(n1, TM),)
+
+    n1sq = jnp.sum(d1 * d1, axis=1)
+    n2sq = jnp.sum(d2 * d2, axis=1)
+    if mask2 is not None:
+        n2sq = jnp.where(mask2, n2sq, 1e12)
+    n2sq = n2sq[None, :]
+
+    dist1, dist2, idx = pl.pallas_call(
+        _match_kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((n1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n1, 1), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((TM, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TM, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(d1, d2, n2sq)
+
+    # Add the per-row ||a||^2 term to recover true squared distances.
+    sq1 = jnp.maximum(dist1[:, 0] + n1sq, 0.0)
+    sq2 = jnp.maximum(dist2[:, 0] + n1sq, 0.0)
+    return sq1, sq2, idx[:, 0]

@@ -34,11 +34,14 @@ def extract_features_single_scale(
 ) -> Features:
     """NaiveSIFT-equivalent: Harris + RootSIFT at one scale
     (reference NaiveSIFT.py:9-213)."""
+    from sfmfromscratch_tpu.ops.pallas.support import pallas_tpu_available
+
     k = k or cfg.num_interest_points
     fw = feature_width or cfg.feature_width
     kps = detect_harris_keypoints(
         image_bw, k=k, feature_width=fw, nms_ksize=cfg.ksize,
         gaussian_size=cfg.gaussian_size, sigma=cfg.sigma, alpha=cfg.alpha,
+        use_pallas=pallas_tpu_available(),
     )
     desc = sift_descriptors(
         image_bw, kps.x, kps.y, kps.mask, feature_width=fw,
@@ -125,6 +128,8 @@ class FeatureRunner:
         g2 = preprocess_image(im2, scale_factor)
         f1 = extract_features(g1, cfg)
         f2 = extract_features(g2, cfg)
+        from sfmfromscratch_tpu.ops.pallas.support import pallas_tpu_available
+
         matches = match_ratio_test(
             f1.descriptors,
             f2.descriptors,
@@ -132,6 +137,7 @@ class FeatureRunner:
             f2.keypoints.mask,
             ratio_threshold=matcher_cfg.ratio_threshold,
             max_matches=matcher_cfg.max_matches,
+            use_pallas=pallas_tpu_available(),
         )
         return cls(features1=f1, features2=f2, matches=matches, image1_bw=g1, image2_bw=g2)
 

@@ -42,6 +42,7 @@ from sfmfromscratch_tpu.ba.problem import make_problem
 from sfmfromscratch_tpu.ba.lm import bundle_adjust
 from sfmfromscratch_tpu.ops.lie import so3_log
 from sfmfromscratch_tpu.ops.matcher import match_ratio_test
+from sfmfromscratch_tpu.ops.pallas.support import pallas_tpu_available
 from sfmfromscratch_tpu.pipeline.frontend import extract_features, preprocess_image
 from sfmfromscratch_tpu.pipeline.tracks import MapStore
 from sfmfromscratch_tpu.types import Features, PairGeometry
@@ -138,6 +139,7 @@ class SfmEngine:
                 f1.keypoints.mask, f2.keypoints.mask,
                 ratio_threshold=mcfg.ratio_threshold,
                 max_matches=mcfg.max_matches,
+                use_pallas=pallas_tpu_available(),
             )
             idx1 = matches.indices[:, 0]
             idx2 = matches.indices[:, 1]
