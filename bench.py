@@ -33,7 +33,8 @@ def build_sequence(num_views, hw=(360, 480), num_points=600):
 
     rng = np.random.default_rng(7)
     images, K, poses, X = render_sequence(
-        rng, num_views=num_views, num_points=num_points, img_hw=hw, f=520.0
+        rng, num_views=num_views, num_points=num_points, img_hw=hw, f=520.0,
+        step_t=(-0.12, 0.01, 0.02), step_r=(0.006, -0.015, 0.004),
     )
     d = tempfile.mkdtemp(prefix="bench_seq_")
     write_sequence(d, images)

@@ -85,6 +85,50 @@ def make_problem(
     )
 
 
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def pad_problem(
+    problem: BAProblem,
+    cam_bucket: int = 8,
+    point_bucket: int = 1024,
+    obs_bucket: int = 4096,
+) -> BAProblem:
+    """Pad cameras/points/observations up to bucketed capacities so repeated
+    solves reuse one compiled program (XLA recompiles per shape; incremental
+    SfM grows the problem every frame). Padded cameras are frozen and
+    unobserved; padded observations carry zero weight — both contribute
+    nothing (verified by tests/test_ba.py::test_ba_handles_padded_observations).
+    """
+    import numpy as np
+
+    C, P, O = problem.num_cameras, problem.num_points, problem.num_obs
+    Cp = _round_up(max(C, 1), cam_bucket)
+    Pp = _round_up(max(P, 1), point_bucket)
+    Op = _round_up(max(O, 1), obs_bucket)
+    if (Cp, Pp, Op) == (C, P, O):
+        return problem
+
+    def pad(arr, n, fill=0.0):
+        pad_width = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+        return jnp.pad(arr, pad_width, constant_values=fill)
+
+    eyeK = jnp.broadcast_to(jnp.eye(3, dtype=problem.K.dtype), (Cp - C, 3, 3))
+    return BAProblem(
+        cam_params=pad(problem.cam_params, Cp),
+        points=pad(problem.points, Pp),
+        K=jnp.concatenate([problem.K, eyeK], axis=0),
+        obs_cam=pad(problem.obs_cam, Op),
+        obs_pt=pad(problem.obs_pt, Op),
+        obs_xy=pad(problem.obs_xy, Op),
+        obs_w=pad(problem.obs_w, Op),
+        cam_fixed=jnp.concatenate(
+            [problem.cam_fixed, jnp.ones(Cp - C, dtype=bool)]
+        ),
+    )
+
+
 def _project_one(cam: jax.Array, X: jax.Array, K: jax.Array) -> jax.Array:
     """Project one point through one camera ([rvec | t] 6-vector).
     Mirrors the reference residual projection (SFM.py:437-440, 448-462)."""

@@ -97,7 +97,7 @@ def ransac_fundamental(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_hypotheses", "sample_size")
+    jax.jit, static_argnames=("num_hypotheses", "sample_size", "cheirality_subset")
 )
 def ransac_essential_pose(
     key: jax.Array,
@@ -110,6 +110,7 @@ def ransac_essential_pose(
     threshold: float = 1.0,
     sample_size: int = 8,
     min_cheirality_frac: float = 1.0,
+    cheirality_subset: int = 1024,
 ) -> RansacPoseResult:
     """Relative-pose RANSAC — the reference's ``ransac_camera_motion``
     (SFM.py:38-103) fully vectorized.
@@ -121,6 +122,12 @@ def ransac_essential_pose(
     epipolar inlier count; if none is strict, the max-cheirality hypothesis wins.
     The base camera is canonical (R=I, t=0), as in the pipeline's only use
     (Runner.py:202-203).
+
+    Cheirality is evaluated on the first ``cheirality_subset`` correspondences
+    (matches arrive sorted best-first, so this is the highest-confidence
+    subset); the reference triangulates every point per candidate, which at
+    B=5967 x 4 candidates x N=2500 points materializes multi-GB intermediates
+    for no statistical gain.
     """
     n = p1.shape[0]
     if mask is None:
@@ -135,9 +142,12 @@ def ransac_essential_pose(
     Rc = jnp.stack([R1, R1, R2, R2], axis=1)                 # (B, 4, 3, 3)
     tc = jnp.stack([t, -t, t, -t], axis=1)                   # (B, 4, 3)
 
-    z1, z2 = two_view_depths(Rc, tc, p1, p2, K1, K2)         # (B, 4, N)
+    ns = min(cheirality_subset, n)
+    p1_s, p2_s, mask_s = p1[:ns], p2[:ns], mask[:ns]
+    n_valid_s = jnp.sum(mask_s)
+    z1, z2 = two_view_depths(Rc, tc, p1_s, p2_s, K1, K2)     # (B, 4, ns)
     eps = 1e-6
-    front = (z1 > eps) & (z2 > eps) & mask[None, None, :]
+    front = (z1 > eps) & (z2 > eps) & mask_s[None, None, :]
     che_count = jnp.sum(front, axis=-1)                      # (B, 4)
     best_cand = jnp.argmax(che_count, axis=-1)               # (B,)
     best_che = jnp.max(che_count, axis=-1)                   # (B,)
@@ -146,7 +156,7 @@ def ransac_essential_pose(
     inl = (d < threshold) & mask[None, :]
     inliers = jnp.sum(inl, axis=-1)                          # (B,)
 
-    strict = best_che >= (min_cheirality_frac * n_valid).astype(best_che.dtype)
+    strict = best_che >= (min_cheirality_frac * n_valid_s).astype(best_che.dtype)
     strict_score = jnp.where(strict, inliers, -1)
     any_strict = jnp.max(strict_score) >= 0
     best_strict = jnp.argmax(strict_score)

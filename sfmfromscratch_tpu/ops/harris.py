@@ -60,7 +60,10 @@ def _window_max(R: jax.Array, ksize: int) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "feature_width", "nms_ksize", "gaussian_size", "use_pallas"),
+    static_argnames=(
+        "k", "feature_width", "nms_ksize", "gaussian_size", "sigma", "alpha",
+        "use_pallas",
+    ),
 )
 def detect_harris_keypoints(
     image: jax.Array,

@@ -66,24 +66,56 @@ def _sep_conv(x: jax.Array, row_taps, col_taps) -> jax.Array:
 
 
 def _harris_kernel(gauss_ref, alpha_ref, img_ref, out_ref):
-    img = img_ref[:]
+    img = img_ref[0]
     # Sobel (cross-correlation taps; reference NaiveSIFT.py:23-31):
     #   Kx = [1,2,1]^T x [-1,0,1],  Ky = [-1,0,1]^T x [1,2,1]
     Ix = _sep_conv(img, (-1.0, 0.0, 1.0), (1.0, 2.0, 1.0))
     Iy = _sep_conv(img, (1.0, 2.0, 1.0), (-1.0, 0.0, 1.0))
 
-    g = gauss_ref[0, :]
-    taps = tuple(g[k] for k in range(gauss_ref.shape[1]))
+    # SMEM allows scalar loads only — read each tap individually.
+    taps = tuple(gauss_ref[0, k] for k in range(gauss_ref.shape[1]))
     Sxx = _sep_conv(Ix * Ix, taps, taps)
     Sxy = _sep_conv(Ix * Iy, taps, taps)
     Syy = _sep_conv(Iy * Iy, taps, taps)
 
     det = Sxx * Syy - Sxy * Sxy
     trace = Sxx + Syy
-    out_ref[:] = det - alpha_ref[0, 0] * trace * trace
+    out_ref[0] = det - alpha_ref[0, 0] * trace * trace
 
 
-@functools.partial(jax.jit, static_argnames=("gaussian_size", "interpret"))
+def _harris_pallas_batched(
+    images: jax.Array, gaussian_size: int, sigma, alpha, interpret: bool
+) -> jax.Array:
+    """(B, H, W) batched fused response: grid over the batch, one image block
+    per program."""
+    B, H, W = images.shape
+    # 1-D factor of the reference's normalized 2-D Gaussian: outer(g1, g1)
+    # with g1 = e / sum(e) equals the jointly-normalized dense kernel
+    # (NaiveSIFT.py:175-199) exactly.
+    mean = gaussian_size // 2
+    axis = jnp.asarray(np.linspace(-mean, mean, gaussian_size), dtype=images.dtype)
+    e = jnp.exp(-(axis ** 2) / (2.0 * jnp.asarray(sigma, images.dtype) ** 2))
+    g1 = e / jnp.sum(e)
+    g_row = g1[None, :]
+
+    alpha_arr = jnp.asarray([[alpha]], dtype=images.dtype)
+    return pl.pallas_call(
+        _harris_kernel,
+        grid=(B,),
+        out_shape=jax.ShapeDtypeStruct((B, H, W), images.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(g_row, alpha_arr, images)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gaussian_size", "sigma", "alpha", "interpret")
+)
 def harris_response_pallas(
     image: jax.Array,
     gaussian_size: int,
@@ -91,33 +123,24 @@ def harris_response_pallas(
     alpha,
     interpret: bool = False,
 ) -> jax.Array:
-    """Pallas fused Harris response. ``image`` is (H, W) float32.
+    """Pallas fused Harris response for one (H, W) float32 image.
 
-    NOTE: the separable Gaussian here is mathematically identical to the
-    reference's dense normalized kernel because a product of 1-D Gaussians
-    normalized jointly equals the normalized 2-D kernel.
+    ``jax.vmap`` over this function dispatches to the natively-batched grid
+    (custom_vmap rule) instead of failing to lower a batched block spec.
     """
-    # 1-D factor of the reference's normalized 2-D Gaussian: outer(g1, g1)
-    # with g1 = e / sum(e) equals the jointly-normalized dense kernel
-    # (NaiveSIFT.py:175-199) exactly.
-    mean = gaussian_size // 2
-    axis = jnp.asarray(np.linspace(-mean, mean, gaussian_size), dtype=image.dtype)
-    e = jnp.exp(-(axis ** 2) / (2.0 * jnp.asarray(sigma, image.dtype) ** 2))
-    g1 = e / jnp.sum(e)
-    g_row = g1[None, :]
 
-    alpha_arr = jnp.asarray([[alpha]], dtype=image.dtype)
-    return pl.pallas_call(
-        _harris_kernel,
-        out_shape=jax.ShapeDtypeStruct(image.shape, image.dtype),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(g_row, alpha_arr, image)
+    @jax.custom_batching.custom_vmap
+    def run(img):
+        return _harris_pallas_batched(
+            img[None], gaussian_size, sigma, alpha, interpret
+        )[0]
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, imgs):
+        out = _harris_pallas_batched(imgs, gaussian_size, sigma, alpha, interpret)
+        return out, True
+
+    return run(image)
 
 
 def harris_response_fused(

@@ -85,6 +85,13 @@ def extract_features(image_bw: jax.Array, cfg: ExtractorConfig) -> Features:
     return Features(keypoints=kps, descriptors=jnp.concatenate(descs))
 
 
+def extract_features_batch(images_bw: jax.Array, cfg: ExtractorConfig) -> Features:
+    """Batched pyramid extraction: (B, H, W) images -> Features with leading
+    batch axis. One compiled program for the whole image set; on a mesh, shard
+    the batch axis for pair/data parallelism (SURVEY.md §2.3 item 1)."""
+    return jax.vmap(lambda im: extract_features(im, cfg))(images_bw)
+
+
 def preprocess_image(img: np.ndarray, scale_factor: float) -> jax.Array:
     """Host decode output -> scaled grayscale device array
     (reference Runner.py:33-46: load, resize by scale_factor, rgb2gray)."""

@@ -115,13 +115,34 @@ class SfmEngine:
     # ------------------------------------------------------------------ stages
 
     def _extract_all_features(self) -> Dict[int, Features]:
-        """Per-image feature extraction, each image exactly once."""
+        """Feature extraction, each image exactly once. Same-shape images are
+        processed as ONE batched (vmapped) device program; mixed shapes fall
+        back to per-image calls."""
         t0 = time.time()
-        feats: Dict[int, Features] = {}
+        grays = []
         for idx in range(1, self.max_img + 1):
             img = load_image(self._image_file(idx))
-            g = preprocess_image(img, self.config.scale_factor)
-            feats[idx] = extract_features(g, self.config.extractor)
+            grays.append(preprocess_image(img, self.config.scale_factor))
+
+        feats: Dict[int, Features] = {}
+        shapes = {g.shape for g in grays}
+        if len(shapes) == 1 and self.max_img > 1:
+            from sfmfromscratch_tpu.pipeline.frontend import extract_features_batch
+
+            # Fixed chunk size => one compiled batched program regardless of
+            # sequence length (pad the last chunk by repeating its first image).
+            CHUNK = 8
+            for start in range(0, self.max_img, CHUNK):
+                chunk = grays[start : start + CHUNK]
+                pad = CHUNK - len(chunk)
+                stacked = jnp.stack(chunk + [chunk[0]] * pad)
+                batched = extract_features_batch(stacked, self.config.extractor)
+                for i in range(len(chunk)):
+                    feats[start + i + 1] = jax.tree.map(lambda a: a[i], batched)
+        else:
+            for i, g in enumerate(grays):
+                feats[i + 1] = extract_features(g, self.config.extractor)
+        for idx in range(1, self.max_img + 1):
             cap = feats[idx].keypoints.capacity
             self._kp_tracks[idx] = np.full(cap, -1, dtype=np.int64)
         self.stage_times["features"] = time.time() - t0
@@ -310,10 +331,17 @@ class SfmEngine:
         t0 = time.time()
         frames, tracks, xy = self.map.observations()
         cam_params = np.array([np.hstack([rv, t]) for rv, t in self.global_poses])
+        num_cams = len(cam_params)
+        num_pts = self.map.num_tracks
         problem = make_problem(
             cam_params, self.map.points(), frames, tracks, xy,
             np.stack(self.global_K),
         )
+        # Bucketed padding => repeated solves share one compiled program as the
+        # reconstruction grows (ba/problem.py pad_problem).
+        from sfmfromscratch_tpu.ba.problem import pad_problem
+
+        problem = pad_problem(problem)
         ba_cfg = self.config.ba
         res = bundle_adjust(
             problem,
@@ -327,10 +355,10 @@ class SfmEngine:
         self.errors_before_after_ba = (
             float(res.initial_mean_error), float(res.final_mean_error)
         )
-        self.map.update_points(np.asarray(res.points, dtype=np.float64))
+        self.map.update_points(np.asarray(res.points[:num_pts], dtype=np.float64))
         self.global_poses = [
             (np.asarray(c[:3], np.float64), np.asarray(c[3:], np.float64))
-            for c in np.asarray(res.cam_params)
+            for c in np.asarray(res.cam_params[:num_cams])
         ]
         self.stage_times["ba"] = time.time() - t0
 

@@ -26,8 +26,10 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped: every test sees the same fresh stream regardless of
+    # which other tests ran (order-independent determinism).
     return np.random.default_rng(5)
 
 

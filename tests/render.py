@@ -12,6 +12,8 @@ def render_sequence(
     img_hw=(240, 320),
     patch: int = 9,
     f: float = 400.0,
+    step_t=(-0.35, 0.03, 0.04),
+    step_r=(0.015, -0.04, 0.008),
 ):
     """Each world point carries a unique random texture patch; every view pastes
     the patch at the point's projection. Returns (images, K, poses, X)."""
@@ -36,8 +38,8 @@ def render_sequence(
 
     poses = []
     for v in range(num_views):
-        rv = np.array([0.015, -0.04, 0.008]) * v
-        t = np.array([-0.35 * v, 0.03 * v, 0.04 * v])
+        rv = np.array(step_r) * v
+        t = np.array(step_t) * v
         poses.append((Rotation.from_rotvec(rv).as_matrix(), t))
 
     images = []
