@@ -69,10 +69,10 @@ def run_ours(num_views=10):
     seq_dir, K, _ = build_sequence(num_views)
     cfg = engine_config()
 
-    # Warm-up on a 3-view prefix: every stage compiles at the same static
-    # shapes the full run uses, so the timed run measures steady-state compute.
+    # Warm-up with the full view count: every stage (including the bucketed
+    # BA problem) compiles at exactly the shapes the timed run uses.
     log("bench: warm-up (compiles)...")
-    SfmEngine(seq_dir, 3, config=cfg, single_K=K)
+    SfmEngine(seq_dir, num_views, config=cfg, single_K=K)
 
     log("bench: timed run...")
     t0 = time.time()

@@ -61,13 +61,19 @@ def triangulate_normalized(
     return triangulate_dlt(p1n[..., :2], p2n[..., :2], T1 @ P1, T2 @ P2)
 
 
-def _reproj_residual(X: jax.Array, p1: jax.Array, p2: jax.Array, P1: jax.Array, P2: jax.Array):
+def _residuals_jac_batched(X: jax.Array, p: jax.Array, P: jax.Array):
+    """Residual (N, 2) and analytic Jacobian (N, 2, 3) of one camera's
+    reprojection for all points at once."""
     Xh = jnp.concatenate([X, jnp.ones_like(X[..., :1])], axis=-1)
-    a = P1 @ Xh
-    b = P2 @ Xh
-    r1 = p1 - a[:2] / jnp.where(jnp.abs(a[2]) < 1e-12, 1e-12, a[2])
-    r2 = p2 - b[:2] / jnp.where(jnp.abs(b[2]) < 1e-12, 1e-12, b[2])
-    return jnp.concatenate([r1, r2])
+    h = Xh @ P.T                                             # (N, 3)
+    z = jnp.where(jnp.abs(h[:, 2:3]) < 1e-12, 1e-12, h[:, 2:3])
+    proj = h[:, :2] / z
+    r = proj - p
+    # d proj / dX = (P[:2,:3] * z - h[:2] P[2,:3]) / z^2
+    A = P[:2, :3][None, :, :]                                # (1, 2, 3)
+    B = h[:, :2, None] * P[2, :3][None, None, :]             # (N, 2, 3)
+    J = (A * z[:, :, None] - B) / (z[:, :, None] ** 2)
+    return r, J
 
 
 def refine_points_gn(
@@ -80,32 +86,44 @@ def refine_points_gn(
     num_iters: int = 10,
     damping: float = 1e-6,
 ) -> jax.Array:
-    """Per-point Gauss-Newton refinement of reprojection error with poses fixed.
+    """Batched Gauss-Newton refinement of reprojection error with poses fixed.
 
     Functional replacement for the reference's scipy-LM ``non_linear_triangulation``
-    (SFM.py:255-289), but each point's 4-residual/3-parameter system is solved
-    independently with analytic normal equations — so the whole point cloud
-    refines as one jitted, vmapped program with zero host synchronization.
+    (SFM.py:255-289): one fori_loop of fully-batched analytic-Jacobian steps —
+    residuals, 2x3 Jacobians, 3x3 normal solves and the improvement gate all
+    evaluate for every point simultaneously (no per-point vmap of autodiff, no
+    host synchronization). A step that increases a point's cost is rejected
+    per point.
     """
-
-    def refine_one(X0, q1, q2, valid):
-        def step(_, X):
-            r = _reproj_residual(X, q1, q2, P1, P2)
-            J = jax.jacfwd(_reproj_residual)(X, q1, q2, P1, P2)
-            JtJ = J.T @ J + damping * jnp.eye(3, dtype=X.dtype)
-            g = J.T @ r
-            # Gauss-Newton step: X <- X - (J^T J)^-1 J^T r.
-            dx = jnp.linalg.solve(JtJ, g)
-            X_new = X - dx
-            ok = jnp.all(jnp.isfinite(X_new))
-            return jnp.where(ok, X_new, X)
-
-        X_ref = jax.lax.fori_loop(0, num_iters, step, X0)
-        return jnp.where(valid, X_ref, X0)
-
     if mask is None:
         mask = jnp.ones(p3d.shape[:-1], dtype=bool)
-    return jax.vmap(refine_one)(p3d, p1, p2, mask)
+
+    def cost(X):
+        r1, _ = _residuals_jac_batched(X, p1, P1)
+        r2, _ = _residuals_jac_batched(X, p2, P2)
+        return jnp.sum(r1 * r1, axis=-1) + jnp.sum(r2 * r2, axis=-1)
+
+    eye = damping * jnp.eye(3, dtype=p3d.dtype)
+
+    def step(_, X):
+        r1, J1 = _residuals_jac_batched(X, p1, P1)
+        r2, J2 = _residuals_jac_batched(X, p2, P2)
+        JtJ = (
+            jnp.einsum("nki,nkj->nij", J1, J1)
+            + jnp.einsum("nki,nkj->nij", J2, J2)
+            + eye
+        )
+        g = jnp.einsum("nki,nk->ni", J1, r1) + jnp.einsum("nki,nk->ni", J2, r2)
+        dx = jnp.linalg.solve(JtJ, g[..., None])[..., 0]
+        X_new = X - dx
+        ok = (
+            jnp.all(jnp.isfinite(X_new), axis=-1)
+            & (cost(X_new) <= cost(X))
+            & mask
+        )
+        return jnp.where(ok[:, None], X_new, X)
+
+    return jax.lax.fori_loop(0, num_iters, step, p3d)
 
 
 def two_view_depths(

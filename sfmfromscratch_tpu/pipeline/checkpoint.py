@@ -53,11 +53,16 @@ def load_checkpoint(engine: "SfmEngine", path: str) -> int:
     z = np.load(path)
     assert int(z["version"]) == CHECKPOINT_VERSION
     m = MapStore()
-    pts = z["points"]
-    m._points = [p for p in pts]
-    m._obs_frame = [int(f) for f in z["obs_frame"]]
-    m._obs_track = [int(t) for t in z["obs_track"]]
-    m._obs_xy = [x for x in z["obs_xy"]]
+    pts = np.asarray(z["points"], dtype=np.float64).reshape(-1, 3)
+    if len(pts):
+        m._point_chunks = [pts]
+    m._num_tracks = len(pts)
+    of = np.asarray(z["obs_frame"], np.int32)
+    if len(of):
+        m._obs_frame_chunks = [of]
+        m._obs_track_chunks = [np.asarray(z["obs_track"], np.int32)]
+        m._obs_xy_chunks = [np.asarray(z["obs_xy"], np.float64).reshape(-1, 2)]
+    m._num_obs = len(of)
     engine.map = m
     engine.global_poses = [(p[:3].copy(), p[3:].copy()) for p in z["poses"]]
     engine.global_K = [k for k in z["K"]]

@@ -25,6 +25,7 @@ every compute stage is a jitted batched device program:
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Dict, List, Optional, Tuple
@@ -49,6 +50,46 @@ from sfmfromscratch_tpu.types import Features, PairGeometry
 from sfmfromscratch_tpu.io.images import load_image
 
 
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def _chain_step_device(
+    key, X_known, sel, p1, p2, K2, P1,
+    num_hypotheses: int, reproj_threshold, new_sel,
+):
+    """One chain iteration's device work fused into a single program:
+    PnP RANSAC -> chained projection -> DLT -> Gauss-Newton refine ->
+    cheirality gate -> pose log. One dispatch + one host fetch per frame
+    (each separate np.asarray costs a full tunnel round trip)."""
+    pose = pnp_ransac(
+        key, X_known, p2, K2, mask=sel,
+        num_hypotheses=num_hypotheses, reproj_threshold=reproj_threshold,
+    )
+    P2 = projection_matrix(pose.R, pose.t, K2)
+    X_new = triangulate_dlt(p1, p2, P1, P2)
+    X_new = refine_points_gn(X_new, p1, p2, P1, P2, mask=new_sel, num_iters=8)
+    Xh = jnp.concatenate([X_new, jnp.ones_like(X_new[:, :1])], axis=1)
+    z1 = (Xh @ P1.T)[:, 2]
+    z2 = (Xh @ P2.T)[:, 2]
+    ok_new = new_sel & (z1 > 1e-6) & (z2 > 1e-6)
+    rvec = so3_log(pose.R)
+    return pose.ok, pose.inliers, rvec, pose.t, P2, X_new, ok_new
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def _bootstrap_device(key, p1, p2, K1, K2, mask, num_hypotheses: int, threshold):
+    """Bootstrap stage fused into one device program (one host fetch)."""
+    pose = ransac_essential_pose(
+        key, p1, p2, K1, K2, mask,
+        num_hypotheses=num_hypotheses, threshold=threshold,
+        min_cheirality_frac=0.75,
+    )
+    P1 = projection_matrix(jnp.eye(3), jnp.zeros(3), K1)
+    P2 = projection_matrix(pose.R, pose.t, K2)
+    X = triangulate_dlt(p1, p2, P1, P2)
+    X = refine_points_gn(X, p1, p2, P1, P2, mask=pose.inliers, num_iters=8)
+    rvec = so3_log(pose.R)
+    return pose.inliers, X, rvec, pose.t, P2
+
+
 class SfmEngine:
     """Incremental SfM over an ordered image sequence.
 
@@ -66,6 +107,10 @@ class SfmEngine:
         model_name: Optional[str] = None,
         output_dir: str = "output",
         assoc_mode: str = "index",
+        on_pose_failure: str = "raise",
+        checkpoint_every: Optional[int] = None,
+        checkpoint_path: Optional[str] = None,
+        mesh=None,
         auto_run: bool = True,
     ):
         self.img_path = img_path
@@ -77,6 +122,12 @@ class SfmEngine:
         self.output_dir = output_dir
         assert assoc_mode in ("index", "distance")
         self.assoc_mode = assoc_mode
+        assert on_pose_failure in ("raise", "recover")
+        self.on_pose_failure = on_pose_failure
+        self.checkpoint_every = checkpoint_every
+        self.checkpoint_path = checkpoint_path
+        self.mesh = mesh  # jax.sharding.Mesh => multi-device execution
+        self.warnings: List[str] = []
 
         self.map = MapStore()
         self.global_poses: List[Tuple[np.ndarray, np.ndarray]] = []  # (rvec, t) per BA camera
@@ -136,6 +187,12 @@ class SfmEngine:
                 chunk = grays[start : start + CHUNK]
                 pad = CHUNK - len(chunk)
                 stacked = jnp.stack(chunk + [chunk[0]] * pad)
+                if self.mesh is not None and "data" in self.mesh.shape:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    stacked = jax.device_put(
+                        stacked, NamedSharding(self.mesh, P("data", None, None))
+                    )
                 batched = extract_features_batch(stacked, self.config.extractor)
                 for i in range(len(chunk)):
                     feats[start + i + 1] = jax.tree.map(lambda a: a[i], batched)
@@ -194,30 +251,26 @@ class SfmEngine:
         """Initial pair (1,2): pose + triangulation (STAGE B)."""
         t0 = time.time()
         pg = self.pair_geometry[(1, 2)]
-        pose = ransac_essential_pose(
+        out = _bootstrap_device(
             self._next_key(), pg.p1, pg.p2, pg.K1, pg.K2, pg.mask,
-            num_hypotheses=self._num_hyp,
-            threshold=self.config.ransac.epipolar_threshold,
-            min_cheirality_frac=0.75,
+            self._num_hyp, self.config.ransac.epipolar_threshold,
         )
-        P1 = projection_matrix(jnp.eye(3), jnp.zeros(3), pg.K1)
-        P2 = projection_matrix(pose.R, pose.t, pg.K2)
-
-        inl = pose.inliers
-        p3d = triangulate_dlt(pg.p1, pg.p2, P1, P2)
-        p3d = refine_points_gn(p3d, pg.p1, pg.p2, P1, P2, mask=inl, num_iters=8)
-
-        inl_np = np.asarray(inl)
-        p3d_np = np.asarray(p3d, dtype=np.float64)
-        p2_np = np.asarray(pg.p2, dtype=np.float64)
+        # ONE host fetch for the stage (plus the pair's p2/idx2).
+        inl_np, p3d_np, rvec, tvec, P2 = (
+            *jax.device_get(out[:4]), out[4]
+        )
+        p3d_np = np.asarray(p3d_np, dtype=np.float64)
+        p2_np = np.asarray(jax.device_get(pg.p2), dtype=np.float64)
+        idx2_np = np.asarray(jax.device_get(pg.idx2))
 
         # Frame 0 of the BA problem observes through the second physical image
         # (the identity base camera never enters BA — reference Runner.py:212-218).
         track_ids = self.map.add_tracks(p3d_np, p2_np, frame_idx=0, mask=inl_np)
-        self._kp_tracks[2][np.asarray(pg.idx2)[inl_np]] = track_ids[inl_np]
+        self._kp_tracks[2][idx2_np[inl_np]] = track_ids[inl_np]
 
-        rvec = np.asarray(so3_log(pose.R), dtype=np.float64)
-        self.global_poses.append((rvec, np.asarray(pose.t, dtype=np.float64)))
+        self.global_poses.append((
+            np.asarray(rvec, dtype=np.float64), np.asarray(tvec, dtype=np.float64)
+        ))
         self.global_K.append(np.asarray(pg.K2, dtype=np.float64))
         self.stage_times["bootstrap"] = time.time() - t0
         return p3d_np[inl_np], p2_np[inl_np], track_ids[inl_np], P2
@@ -241,14 +294,19 @@ class SfmEngine:
         many matches/associations each pair produced (XLA static shapes;
         SURVEY.md §7.3)."""
         t0 = time.time()
+        # One bulk device->host fetch for every pair's match data (each
+        # separate np.asarray would be a full tunnel round trip).
+        pair_host = jax.device_get({
+            (i, i + 1): (pg.mask, pg.p1, pg.p2, pg.idx1, pg.idx2)
+            for i in range(2, self.max_img)
+            for pg in [self.pair_geometry[(i, i + 1)]]
+        })
         for i in range(2, self.max_img):
             j = i + 1
             pg = self.pair_geometry[(i, j)]
-            mask_np = np.asarray(pg.mask)
-            p1_np = np.asarray(pg.p1, dtype=np.float64)
-            p2_np = np.asarray(pg.p2, dtype=np.float64)
-            idx1_np = np.asarray(pg.idx1)
-            idx2_np = np.asarray(pg.idx2)
+            mask_np, p1_h, p2_h, idx1_np, idx2_np = pair_host[(i, j)]
+            p1_np = np.asarray(p1_h, dtype=np.float64)
+            p2_np = np.asarray(p2_h, dtype=np.float64)
 
             if self.assoc_mode == "index":
                 # A match whose image-i keypoint already carries a track links
@@ -265,47 +323,60 @@ class SfmEngine:
                 X_known = p3d[np.where(sel, assoc, 0)]
 
             if sel.sum() < 6:
-                raise RuntimeError(
-                    f"Cannot determine pose for pair ({i}, {j}): "
-                    f"only {int(sel.sum())} 2D-3D associations"
-                )
+                if self.on_pose_failure == "raise":
+                    # Reference behavior: a failed pose kills the run
+                    # (Runner.py:263-264).
+                    raise RuntimeError(
+                        f"Cannot determine pose for pair ({i}, {j}): "
+                        f"only {int(sel.sum())} 2D-3D associations"
+                    )
 
-            pose = pnp_ransac(
+            new_sel = mask_np & ~sel if self.assoc_mode == "index" else mask_np
+            out = _chain_step_device(
                 self._next_key(),
                 jnp.asarray(X_known, dtype=jnp.float32),
+                jnp.asarray(sel),
+                jnp.asarray(p1_np, dtype=jnp.float32),
                 jnp.asarray(p2_np, dtype=jnp.float32),
                 pg.K2,
-                mask=jnp.asarray(sel),
-                num_hypotheses=self._num_hyp,
-                reproj_threshold=self.config.ransac.pnp_reproj_threshold,
+                P2,  # previous frame's projection becomes P1
+                self._num_hyp,
+                self.config.ransac.pnp_reproj_threshold,
+                jnp.asarray(new_sel),
             )
-            if not bool(pose.ok):
-                raise RuntimeError(f"Cannot determine pose for pair ({i}, {j})")
+            # ONE host fetch for the frame.
+            ok, inliers, rvec, tvec, P2_new, X_new_np, ok_new = jax.device_get(out)
+
+            if not bool(ok) or sel.sum() < 6:
+                if self.on_pose_failure == "raise":
+                    raise RuntimeError(f"Cannot determine pose for pair ({i}, {j})")
+                pose = self._recover_pose(pg, i, j)
+                sel = np.zeros(len(p1_np), bool)
+                inliers = np.zeros(len(p1_np), bool)
+                rvec = np.asarray(so3_log(pose.R))
+                tvec = np.asarray(pose.t)
+                P1_dev = P2
+                P2 = projection_matrix(pose.R, pose.t, pg.K2)
+                X_new_j = triangulate_dlt(
+                    jnp.asarray(p1_np, jnp.float32), jnp.asarray(p2_np, jnp.float32),
+                    P1_dev, P2,
+                )
+                X_new_np = np.asarray(X_new_j, dtype=np.float64)
+                ok_new = new_sel & self._cheirality_np(X_new_np, P1_dev, P2)
+            else:
+                P2 = P2_new
 
             current_frame = len(self.global_poses)  # next BA camera index
 
             # Re-observe known tracks in the new frame (reference
             # add_points(result_prev, result_next, current_frame)).
-            pnp_inl = np.asarray(pose.inliers) & sel
+            pnp_inl = inliers & sel
             self.map.add_observations(
                 np.where(pnp_inl, known_tracks, -1), p2_np, current_frame
             )
             self._kp_tracks[j][idx2_np[pnp_inl]] = known_tracks[pnp_inl]
 
-            # Triangulate the pair's remaining matches against the chained
-            # projections; they become new tracks.
-            P1 = P2
-            P2 = projection_matrix(pose.R, pose.t, pg.K2)
-            new_sel = mask_np & ~sel if self.assoc_mode == "index" else mask_np
-            p1_j = jnp.asarray(p1_np, dtype=jnp.float32)
-            p2_j = jnp.asarray(p2_np, dtype=jnp.float32)
-            X_new = triangulate_dlt(p1_j, p2_j, P1, P2)
-            X_new = refine_points_gn(
-                X_new, p1_j, p2_j, P1, P2, mask=jnp.asarray(new_sel), num_iters=8
-            )
-            X_new_np = np.asarray(X_new, dtype=np.float64)
-            # Positive-depth gate for fresh tracks (both cameras).
-            ok_new = new_sel & self._cheirality_np(X_new_np, P1, P2)
+            X_new_np = np.asarray(X_new_np, dtype=np.float64)
             new_ids = self.map.add_tracks(X_new_np, p2_np, current_frame, mask=ok_new)
             self._kp_tracks[j][idx2_np[ok_new]] = new_ids[ok_new]
 
@@ -313,10 +384,59 @@ class SfmEngine:
             p2_obs = p2_np[ok_new]
             track_ids = new_ids[ok_new]
 
-            rvec = np.asarray(so3_log(pose.R), dtype=np.float64)
-            self.global_poses.append((rvec, np.asarray(pose.t, dtype=np.float64)))
+            self.global_poses.append((
+                np.asarray(rvec, dtype=np.float64),
+                np.asarray(tvec, dtype=np.float64),
+            ))
             self.global_K.append(np.asarray(pg.K2, dtype=np.float64))
+
+            if self.checkpoint_every and (j % self.checkpoint_every == 0):
+                from sfmfromscratch_tpu.pipeline.checkpoint import save_checkpoint
+
+                path = self.checkpoint_path or os.path.join(
+                    self.output_dir, "checkpoint.npz"
+                )
+                save_checkpoint(self, path, next_frame=j + 1)
         self.stage_times["chain"] = time.time() - t0
+
+    def _recover_pose(self, pg: PairGeometry, i: int, j: int):
+        """Elastic recovery when PnP fails (SURVEY.md §5.3 — the reference
+        raises and dies, Runner.py:263-264): estimate the relative pose from
+        the pair's own epipolar geometry and chain it onto the previous
+        absolute pose, rescaling the unit translation to the previous step
+        length so the trajectory scale stays continuous."""
+        from sfmfromscratch_tpu.geometry.pnp import PnPResult
+        from sfmfromscratch_tpu.ops.lie import so3_exp
+
+        self.warnings.append(f"pose recovery engaged for pair ({i}, {j})")
+        rel = ransac_essential_pose(
+            self._next_key(), pg.p1, pg.p2, pg.K1, pg.K2, pg.mask,
+            num_hypotheses=self._num_hyp,
+            threshold=self.config.ransac.epipolar_threshold,
+            min_cheirality_frac=0.5,
+        )
+        rv_prev, t_prev = self.global_poses[-1]
+        R_prev = np.asarray(so3_exp(jnp.asarray(rv_prev, jnp.float32)), np.float64)
+        if len(self.global_poses) >= 2:
+            rv_pp, t_pp = self.global_poses[-2]
+            R_pp = np.asarray(so3_exp(jnp.asarray(rv_pp, jnp.float32)), np.float64)
+            c_prev = -R_prev.T @ np.asarray(t_prev)
+            c_pp = -R_pp.T @ np.asarray(t_pp)
+            step = float(np.linalg.norm(c_prev - c_pp))
+        else:
+            step = 1.0
+        R_rel = np.asarray(rel.R, np.float64)
+        t_rel = np.asarray(rel.t, np.float64) * max(step, 1e-6)
+        R_new = R_rel @ R_prev
+        t_new = R_rel @ np.asarray(t_prev) + t_rel
+        n = pg.p1.shape[0]
+        return PnPResult(
+            R=jnp.asarray(R_new, jnp.float32),
+            t=jnp.asarray(t_new, jnp.float32),
+            inliers=jnp.zeros((n,), dtype=bool),
+            num_inliers=jnp.asarray(0),
+            ok=jnp.asarray(True),
+        )
 
     @staticmethod
     def _cheirality_np(X: np.ndarray, P1, P2) -> np.ndarray:
@@ -343,15 +463,28 @@ class SfmEngine:
 
         problem = pad_problem(problem)
         ba_cfg = self.config.ba
-        res = bundle_adjust(
-            problem,
-            max_iters=ba_cfg.max_lm_iters,
-            cg_iters=60,
-            init_damping=ba_cfg.init_damping,
-            damping_up=ba_cfg.damping_up,
-            damping_down=ba_cfg.damping_down,
-            ftol=ba_cfg.ftol,
-        )
+        if self.mesh is not None and "data" in self.mesh.shape:
+            from sfmfromscratch_tpu.parallel.sharded_ba import bundle_adjust_sharded
+
+            res = bundle_adjust_sharded(
+                problem, self.mesh,
+                max_iters=ba_cfg.max_lm_iters,
+                cg_iters=60,
+                init_damping=ba_cfg.init_damping,
+                damping_up=ba_cfg.damping_up,
+                damping_down=ba_cfg.damping_down,
+                ftol=ba_cfg.ftol,
+            )
+        else:
+            res = bundle_adjust(
+                problem,
+                max_iters=ba_cfg.max_lm_iters,
+                cg_iters=60,
+                init_damping=ba_cfg.init_damping,
+                damping_up=ba_cfg.damping_up,
+                damping_down=ba_cfg.damping_down,
+                ftol=ba_cfg.ftol,
+            )
         self.errors_before_after_ba = (
             float(res.initial_mean_error), float(res.final_mean_error)
         )

@@ -101,3 +101,20 @@ def test_dp_feature_extraction_sharded(rng):
     assert kps.x.shape == (8, 64)
     # Output stays sharded over the batch axis.
     assert not kps.x.is_fully_replicated
+
+
+def test_engine_with_mesh(rng, tmp_path):
+    """Full engine on the 8-device CPU mesh: DP feature extraction + sharded BA."""
+    from tests.render import render_sequence, write_sequence
+    from tests.test_pipeline import _small_config
+    from sfmfromscratch_tpu.pipeline.incremental import SfmEngine
+
+    images, K, poses, X = render_sequence(rng, num_views=4, num_points=110)
+    d = tmp_path / "seq"
+    d.mkdir()
+    write_sequence(str(d), images)
+    mesh = make_mesh(8, model_parallel=1)
+    eng = SfmEngine(str(d), 4, config=_small_config(), single_K=K, mesh=mesh)
+    assert len(eng.global_poses) == 3
+    b, a = eng.errors_before_after_ba
+    assert a <= b + 1e-6 and a < 3.0
