@@ -38,7 +38,7 @@ def build_sequence(num_views, hw=(360, 480), num_points=600):
     )
     d = tempfile.mkdtemp(prefix="bench_seq_")
     write_sequence(d, images)
-    return d, K, images
+    return d, K, images, poses
 
 
 def engine_config():
@@ -66,7 +66,7 @@ def engine_config():
 def run_ours(num_views=10):
     from sfmfromscratch_tpu.pipeline.incremental import SfmEngine
 
-    seq_dir, K, _ = build_sequence(num_views)
+    seq_dir, K, _, gt_poses = build_sequence(num_views)
     cfg = engine_config()
 
     # Warm-up with the full view count: every stage (including the bucketed
@@ -82,12 +82,29 @@ def run_ours(num_views=10):
     log(f"bench: ours {wall:.2f}s for {num_views} views = {fps:.3f} frames/s; "
         f"stages: " + ", ".join(f"{k}={v:.2f}s" for k, v in eng.stage_times.items()))
     log(f"bench: reproj err before/after BA: {eng.errors_before_after_ba}")
+    log_ate(eng, gt_poses)
     return fps, eng
+
+
+def log_ate(eng, seq_dir_poses):
+    """ATE vs the rendered ground truth (similarity-aligned)."""
+    from sfmfromscratch_tpu.utils.metrics import absolute_trajectory_error, camera_centers
+
+    try:
+        rvecs = np.stack([rv for rv, _ in eng.global_poses])
+        ts = np.stack([t for _, t in eng.global_poses])
+        est = camera_centers(rvecs, ts)
+        gt = np.stack([-(R.T @ t) for R, t in seq_dir_poses[1 : len(est) + 1]])
+        ate = absolute_trajectory_error(est, gt)
+        extent = float(np.linalg.norm(gt.max(0) - gt.min(0)))
+        log(f"bench: ATE {ate:.4f} (trajectory extent {extent:.3f})")
+    except Exception as e:
+        log(f"bench: ATE unavailable: {e}")
 
 
 def run_reference_baseline(num_views=10):
     """Measure the reference's per-frame cost on this host (timeboxed)."""
-    seq_dir, K, images = build_sequence(2)  # one pair suffices for timing
+    seq_dir, K, images, _ = build_sequence(2)  # one pair suffices for timing
     ref_dir = "/root/reference"
     if not os.path.isdir(ref_dir):
         return 0.0

@@ -47,6 +47,11 @@ def main(argv=None) -> int:
     rec.add_argument("--model-name", default=None)
     rec.add_argument("--output-dir", default="output")
     rec.add_argument("--assoc-mode", choices=["index", "distance"], default="index")
+    rec.add_argument("--pair-window", type=int, default=1,
+                     help="match pairs (i, i+1..i+w); w>1 links multi-view tracks")
+    rec.add_argument("--local-ba-every", type=int, default=None,
+                     help="run windowed BA every N chain frames")
+    rec.add_argument("--on-pose-failure", choices=["raise", "recover"], default="raise")
     _add_extractor_flags(rec)
 
     show = sub.add_parser("show", help="load a saved model and open the 3-D viewer")
@@ -123,6 +128,8 @@ def main(argv=None) -> int:
         args.img_path, args.max_img, config=cfg, single_K=single_K,
         camera_sensor=sensor, model_name=args.model_name,
         output_dir=args.output_dir, assoc_mode=args.assoc_mode,
+        pair_window=args.pair_window, local_ba_every=args.local_ba_every,
+        on_pose_failure=args.on_pose_failure,
     )
     b, a = eng.errors_before_after_ba
     print(f"tracks={eng.map.num_tracks} observations={eng.map.num_observations}")

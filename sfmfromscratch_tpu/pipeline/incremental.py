@@ -111,6 +111,9 @@ class SfmEngine:
         checkpoint_every: Optional[int] = None,
         checkpoint_path: Optional[str] = None,
         mesh=None,
+        pair_window: int = 1,
+        local_ba_every: Optional[int] = None,
+        local_ba_window: int = 5,
         auto_run: bool = True,
     ):
         self.img_path = img_path
@@ -127,6 +130,18 @@ class SfmEngine:
         self.checkpoint_every = checkpoint_every
         self.checkpoint_path = checkpoint_path
         self.mesh = mesh  # jax.sharding.Mesh => multi-device execution
+        # pair_window=1 reproduces the reference's consecutive-only match graph
+        # (Runner.py:183-184); w>1 also matches (i, i+2..i+w) and links their
+        # observations into existing tracks (multi-view constraints the
+        # reference never forms).
+        self.pair_window = max(1, int(pair_window))
+        # Windowed bundle adjustment cadence: every k chain frames, re-optimize
+        # the trailing `local_ba_window` cameras + the whole point set with
+        # earlier cameras frozen (SURVEY.md §7.3 — periodic windowed BA instead
+        # of one monolithic end-of-run solve).
+        self.local_ba_every = local_ba_every
+        self.local_ba_window = local_ba_window
+        self._track_seen_frame: np.ndarray = np.full(0, -1, dtype=np.int64)
         self.warnings: List[str] = []
 
         self.map = MapStore()
@@ -209,8 +224,12 @@ class SfmEngine:
         """Consecutive-pair matching + inlier filtering (STAGE A)."""
         t0 = time.time()
         mcfg = self.config.matcher
-        for i1 in range(1, self.max_img):
-            i2 = i1 + 1
+        pairs = [
+            (i1, i2)
+            for i1 in range(1, self.max_img)
+            for i2 in range(i1 + 1, min(i1 + self.pair_window, self.max_img) + 1)
+        ]
+        for i1, i2 in pairs:
             f1, f2 = feats[i1], feats[i2]
             matches = match_ratio_test(
                 f1.descriptors, f2.descriptors,
@@ -297,10 +316,11 @@ class SfmEngine:
         # One bulk device->host fetch for every pair's match data (each
         # separate np.asarray would be a full tunnel round trip).
         pair_host = jax.device_get({
-            (i, i + 1): (pg.mask, pg.p1, pg.p2, pg.idx1, pg.idx2)
-            for i in range(2, self.max_img)
-            for pg in [self.pair_geometry[(i, i + 1)]]
+            key: (pg.mask, pg.p1, pg.p2, pg.idx1, pg.idx2)
+            for key, pg in self.pair_geometry.items()
+            if key[0] < key[1] and key[1] >= 3
         })
+        self._pair_host = pair_host
         for i in range(2, self.max_img):
             j = i + 1
             pg = self.pair_geometry[(i, j)]
@@ -380,6 +400,27 @@ class SfmEngine:
             new_ids = self.map.add_tracks(X_new_np, p2_np, current_frame, mask=ok_new)
             self._kp_tracks[j][idx2_np[ok_new]] = new_ids[ok_new]
 
+            self._grow_seen()
+            self._track_seen_frame[known_tracks[pnp_inl]] = current_frame
+            self._track_seen_frame[new_ids[ok_new]] = current_frame
+            if self.pair_window > 1:
+                self._link_window_pairs(j, current_frame, pair_host)
+
+            if (
+                self.local_ba_every
+                and len(self.global_poses) % self.local_ba_every == 0
+            ):
+                freeze = max(0, len(self.global_poses) + 1 - self.local_ba_window)
+                self._global_ba(freeze_before=freeze, stage="local_ba")
+                # Chained projection must follow the re-optimized latest pose.
+                rv_l, t_l = self.global_poses[-1]
+                from sfmfromscratch_tpu.ops.lie import so3_exp as _exp
+
+                P2 = projection_matrix(
+                    _exp(jnp.asarray(rv_l, jnp.float32)),
+                    jnp.asarray(t_l, jnp.float32), pg.K2,
+                )
+
             p3d = X_new_np[ok_new]
             p2_obs = p2_np[ok_new]
             track_ids = new_ids[ok_new]
@@ -438,6 +479,37 @@ class SfmEngine:
             ok=jnp.asarray(True),
         )
 
+    def _grow_seen(self) -> None:
+        n = self.map.num_tracks
+        if len(self._track_seen_frame) < n:
+            grown = np.full(n, -1, dtype=np.int64)
+            grown[: len(self._track_seen_frame)] = self._track_seen_frame
+            self._track_seen_frame = grown
+
+    def _link_window_pairs(self, j: int, current_frame: int, pair_host) -> None:
+        """Attach observations of already-mapped tracks seen again through the
+        non-consecutive pairs (i, j), i < j-1 — multi-view constraints the
+        consecutive-only reference graph cannot express."""
+        for i in range(max(1, j - self.pair_window), j - 1):
+            key = (i, j)
+            if key not in pair_host:
+                continue
+            mask_np, _p1h, p2h, idx1_np, idx2_np = pair_host[key]
+            linked = np.where(mask_np, self._kp_tracks[i][idx1_np], -1)
+            sel = linked >= 0
+            if not sel.any():
+                continue
+            tids = linked[sel]
+            self._grow_seen()
+            fresh = self._track_seen_frame[tids] != current_frame
+            if not fresh.any():
+                continue
+            tids_f = tids[fresh]
+            xy = np.asarray(p2h, dtype=np.float64)[sel][fresh]
+            self.map.add_observations(tids_f, xy, current_frame)
+            self._kp_tracks[j][idx2_np[sel][fresh]] = tids_f
+            self._track_seen_frame[tids_f] = current_frame
+
     @staticmethod
     def _cheirality_np(X: np.ndarray, P1, P2) -> np.ndarray:
         P1n, P2n = np.asarray(P1, np.float64), np.asarray(P2, np.float64)
@@ -446,16 +518,18 @@ class SfmEngine:
         z2 = (Xh @ P2n.T)[:, 2]
         return (z1 > 1e-6) & (z2 > 1e-6)
 
-    def _global_ba(self) -> None:
-        """Global bundle adjustment (STAGE D)."""
+    def _global_ba(self, freeze_before: int = 0, stage: str = "ba") -> None:
+        """Bundle adjustment (STAGE D). ``freeze_before`` fixes cameras
+        [0, freeze_before) — 0 means full global BA, >0 the windowed variant."""
         t0 = time.time()
         frames, tracks, xy = self.map.observations()
         cam_params = np.array([np.hstack([rv, t]) for rv, t in self.global_poses])
         num_cams = len(cam_params)
         num_pts = self.map.num_tracks
+        cam_fixed = np.arange(num_cams) < freeze_before
         problem = make_problem(
             cam_params, self.map.points(), frames, tracks, xy,
-            np.stack(self.global_K),
+            np.stack(self.global_K), cam_fixed=cam_fixed,
         )
         # Bucketed padding => repeated solves share one compiled program as the
         # reconstruction grows (ba/problem.py pad_problem).
@@ -493,7 +567,7 @@ class SfmEngine:
             (np.asarray(c[:3], np.float64), np.asarray(c[3:], np.float64))
             for c in np.asarray(res.cam_params[:num_cams])
         ]
-        self.stage_times["ba"] = time.time() - t0
+        self.stage_times[stage] = self.stage_times.get(stage, 0.0) + time.time() - t0
 
     # ------------------------------------------------------------------ driver
 

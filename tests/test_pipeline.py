@@ -93,3 +93,48 @@ def test_viewer_headless(engine, tmp_path):
     v = V3D(engine.map.points(), frames, tracks, show=False,
             save_path=str(tmp_path / "cloud.png"))
     assert (tmp_path / "cloud.png").exists()
+
+
+def test_engine_pair_window(rendered, tmp_path):
+    """pair_window>1 builds a denser multi-view track graph (more observations
+    per track) and still reconstructs."""
+    from sfmfromscratch_tpu.pipeline.incremental import SfmEngine
+
+    base = SfmEngine(rendered["dir"], rendered["n"], config=_small_config(),
+                     single_K=rendered["K"])
+    wide = SfmEngine(rendered["dir"], rendered["n"], config=_small_config(),
+                     single_K=rendered["K"], pair_window=3)
+    assert wide.map.num_observations > base.map.num_observations
+    b, a = wide.errors_before_after_ba
+    assert a <= b + 1e-6 and a < 3.0
+    # No track observed twice in one frame.
+    frames, tracks, _ = wide.map.observations()
+    assert len({(f, t) for f, t in zip(frames, tracks)}) == len(frames)
+
+
+def test_engine_local_ba(rendered):
+    from sfmfromscratch_tpu.pipeline.incremental import SfmEngine
+
+    eng = SfmEngine(rendered["dir"], rendered["n"], config=_small_config(),
+                    single_K=rendered["K"], local_ba_every=1, local_ba_window=3)
+    assert "local_ba" in eng.stage_times
+    b, a = eng.errors_before_after_ba
+    assert a <= b + 1e-6 and a < 3.0
+
+
+def test_engine_ate_vs_ground_truth(engine, rendered):
+    """ATE (after similarity alignment — monocular gauge freedom) must be a
+    small fraction of the trajectory extent. This is the headline accuracy
+    metric (BASELINE.json)."""
+    from sfmfromscratch_tpu.utils.metrics import absolute_trajectory_error, camera_centers
+
+    rvecs = np.stack([rv for rv, _ in engine.global_poses])
+    ts = np.stack([t for _, t in engine.global_poses])
+    est_centers = camera_centers(rvecs, ts)
+    # BA camera k corresponds to physical view k+1.
+    gt_centers = np.stack([
+        -(R.T @ t) for R, t in [rendered["poses"][k + 1] for k in range(len(est_centers))]
+    ])
+    ate = absolute_trajectory_error(est_centers, gt_centers)
+    extent = np.linalg.norm(gt_centers.max(0) - gt_centers.min(0))
+    assert ate < 0.1 * max(extent, 1e-6), (ate, extent)
