@@ -406,21 +406,6 @@ class SfmEngine:
             if self.pair_window > 1:
                 self._link_window_pairs(j, current_frame, pair_host)
 
-            if (
-                self.local_ba_every
-                and len(self.global_poses) % self.local_ba_every == 0
-            ):
-                freeze = max(0, len(self.global_poses) + 1 - self.local_ba_window)
-                self._global_ba(freeze_before=freeze, stage="local_ba")
-                # Chained projection must follow the re-optimized latest pose.
-                rv_l, t_l = self.global_poses[-1]
-                from sfmfromscratch_tpu.ops.lie import so3_exp as _exp
-
-                P2 = projection_matrix(
-                    _exp(jnp.asarray(rv_l, jnp.float32)),
-                    jnp.asarray(t_l, jnp.float32), pg.K2,
-                )
-
             p3d = X_new_np[ok_new]
             p2_obs = p2_np[ok_new]
             track_ids = new_ids[ok_new]
@@ -430,6 +415,23 @@ class SfmEngine:
                 np.asarray(tvec, dtype=np.float64),
             ))
             self.global_K.append(np.asarray(pg.K2, dtype=np.float64))
+
+            if (
+                self.local_ba_every
+                and len(self.global_poses) % self.local_ba_every == 0
+            ):
+                # Windowed BA AFTER the frame's camera is registered (its
+                # observations must reference an existing BA camera).
+                freeze = max(0, len(self.global_poses) - self.local_ba_window)
+                self._global_ba(freeze_before=freeze, stage="local_ba")
+                # Chained projection must follow the re-optimized latest pose.
+                rv_l, t_l = self.global_poses[-1]
+                from sfmfromscratch_tpu.ops.lie import so3_exp as _exp
+
+                P2 = projection_matrix(
+                    _exp(jnp.asarray(rv_l, jnp.float32)),
+                    jnp.asarray(t_l, jnp.float32), pg.K2,
+                )
 
             if self.checkpoint_every and (j % self.checkpoint_every == 0):
                 from sfmfromscratch_tpu.pipeline.checkpoint import save_checkpoint

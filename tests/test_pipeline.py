@@ -120,6 +120,10 @@ def test_engine_local_ba(rendered):
     assert "local_ba" in eng.stage_times
     b, a = eng.errors_before_after_ba
     assert a <= b + 1e-6 and a < 3.0
+    # Windowed BA must keep intermediate drift bounded: the error entering the
+    # final global BA stays small (regression test for the hook firing before
+    # the frame's camera was registered).
+    assert b < 5.0
 
 
 def test_engine_ate_vs_ground_truth(engine, rendered):
