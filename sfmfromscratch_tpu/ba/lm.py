@@ -24,9 +24,28 @@ from sfmfromscratch_tpu.ba.problem import (
     BAProblem,
     jacobian_blocks,
     mean_reprojection_error,
+    residuals,
     total_cost,
 )
 from sfmfromscratch_tpu.ba.schur import build_normal_blocks, solve_schur
+
+
+def robust_cost(problem: BAProblem, cam: jax.Array, pts: jax.Array, delta: float) -> jax.Array:
+    """Huber cost over per-observation residual norms (delta <= 0 => plain
+    least squares, the reference's behavior)."""
+    r = residuals(problem, cam, pts)
+    if delta <= 0:
+        return jnp.sum(r * r)
+    rn = jnp.linalg.norm(r, axis=-1)
+    quad = rn * rn
+    lin = 2.0 * delta * rn - delta * delta
+    return jnp.sum(jnp.where(rn <= delta, quad, lin))
+
+
+def huber_weights(r: jax.Array, delta: float) -> jax.Array:
+    """(O,) IRLS scale factors: sqrt(rho'(|r|)/|r|), 1 inside the quadratic zone."""
+    rn = jnp.linalg.norm(r, axis=-1)
+    return jnp.where(rn <= delta, 1.0, jnp.sqrt(delta / jnp.maximum(rn, 1e-12)))
 
 
 class BAResult(NamedTuple):
@@ -39,7 +58,7 @@ class BAResult(NamedTuple):
     iterations_used: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "cg_iters"))
+@functools.partial(jax.jit, static_argnames=("max_iters", "cg_iters", "huber_delta"))
 def bundle_adjust(
     problem: BAProblem,
     max_iters: int = 30,
@@ -48,14 +67,31 @@ def bundle_adjust(
     damping_up: float = 4.0,
     damping_down: float = 0.5,
     ftol: float = 1e-2,
+    huber_delta: float = 0.0,
 ) -> BAResult:
-    """Run LM to convergence (relative cost decrease < ftol) or ``max_iters``."""
+    """Run LM to convergence (relative cost decrease < ftol) or ``max_iters``.
+
+    ``huber_delta > 0`` switches to a Huber robust loss via IRLS: residuals
+    beyond delta pixels are down-weighted each iteration, so gross outlier
+    tracks cannot drag the solution (the reference's scipy trf is plain least
+    squares, SFM.py:421-429).
+    """
     C = problem.num_cameras
     P = problem.num_points
+
+    def cost_fn(cam, pts):
+        if huber_delta > 0:
+            return robust_cost(problem, cam, pts, huber_delta)
+        return total_cost(problem, cam, pts)
 
     def lm_step(state):
         cam, pts, lam, cost, it, done = state
         Jc, Jp, r = jacobian_blocks(problem, cam, pts)
+        if huber_delta > 0:
+            w = huber_weights(r, huber_delta)
+            r = r * w[:, None]
+            Jc = Jc * w[:, None, None]
+            Jp = Jp * w[:, None, None]
         op = build_normal_blocks(
             Jc, Jp, r, problem.obs_cam, problem.obs_pt, C, P, lam
         )
@@ -63,7 +99,7 @@ def bundle_adjust(
         dc = jnp.where(problem.cam_fixed[:, None], 0.0, dc)
         cam_new = cam - dc
         pts_new = pts - dp
-        new_cost = total_cost(problem, cam_new, pts_new)
+        new_cost = cost_fn(cam_new, pts_new)
         finite = jnp.isfinite(new_cost)
         improved = (new_cost < cost) & finite
 
@@ -79,7 +115,7 @@ def bundle_adjust(
         *_, it, done = state
         return (it < max_iters) & jnp.logical_not(done)
 
-    cost0 = total_cost(problem, problem.cam_params, problem.points)
+    cost0 = cost_fn(problem.cam_params, problem.points)
     err0 = mean_reprojection_error(problem)
     state = (
         problem.cam_params,

@@ -92,4 +92,7 @@ def detect_dog_keypoints(
     x = (rem % W).astype(jnp.int32)
     mask = jnp.isfinite(top)
     del plane  # scale folded into ranking only
-    return Keypoints(x=x, y=y, score=jnp.where(mask, top, 0.0), mask=mask)
+    return Keypoints(
+        x=x, y=y, score=jnp.where(mask, top, 0.0), mask=mask,
+        xf=x.astype(jnp.float32), yf=y.astype(jnp.float32),
+    )

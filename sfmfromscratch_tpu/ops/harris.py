@@ -106,4 +106,21 @@ def detect_harris_keypoints(
     y = (top_idx // W).astype(jnp.int32)
     x = (top_idx % W).astype(jnp.int32)
     mask = top_scores > neg_inf
-    return Keypoints(x=x, y=y, score=jnp.where(mask, top_scores, 0.0), mask=mask)
+
+    # Subpixel peak: 1-D parabola fit through the response along each axis
+    # (integer keypoints carry +-0.5 px observation noise — the reference
+    # returns integer coords only, NaiveSIFT.py:94-118).
+    yc = jnp.clip(y, 1, H - 2)
+    xc = jnp.clip(x, 1, W - 2)
+    c = R[yc, xc]
+    dx_num = R[yc, xc - 1] - R[yc, xc + 1]
+    dx_den = 2.0 * (R[yc, xc - 1] - 2.0 * c + R[yc, xc + 1])
+    dy_num = R[yc - 1, xc] - R[yc + 1, xc]
+    dy_den = 2.0 * (R[yc - 1, xc] - 2.0 * c + R[yc + 1, xc])
+    dx = jnp.clip(dx_num / jnp.where(jnp.abs(dx_den) < 1e-12, 1e-12, dx_den), -0.5, 0.5)
+    dy = jnp.clip(dy_num / jnp.where(jnp.abs(dy_den) < 1e-12, 1e-12, dy_den), -0.5, 0.5)
+    xf = x.astype(jnp.float32) + jnp.where(mask, dx, 0.0)
+    yf = y.astype(jnp.float32) + jnp.where(mask, dy, 0.0)
+    return Keypoints(
+        x=x, y=y, score=jnp.where(mask, top_scores, 0.0), mask=mask, xf=xf, yf=yf
+    )

@@ -132,7 +132,10 @@ class SuperPointExtractor:
             self.variables, image_bw, k, nms_radius, border
         )
         return Features(
-            keypoints=Keypoints(x=x, y=y, score=score, mask=mask),
+            keypoints=Keypoints(
+                x=x, y=y, score=score, mask=mask,
+                xf=x.astype("float32"), yf=y.astype("float32"),
+            ),
             descriptors=desc,
         )
 

@@ -62,7 +62,7 @@ def extract_features(image_bw: jax.Array, cfg: ExtractorConfig) -> Features:
     per_level_k = int(cfg.num_interest_points / cfg.pyramid_level)
     min_fw = 3
 
-    xs, ys, scores, masks, descs = [], [], [], [], []
+    xs, ys, xfs, yfs, scores, masks, descs = [], [], [], [], [], [], []
     for level, img in enumerate(levels):
         scale = cfg.pyramid_scale_factor ** level
         fw = max(int(cfg.feature_width / scale), min_fw)
@@ -72,6 +72,8 @@ def extract_features(image_bw: jax.Array, cfg: ExtractorConfig) -> Features:
         kp = feats.keypoints
         xs.append((kp.x.astype(jnp.float32) * scale).astype(jnp.int32))
         ys.append((kp.y.astype(jnp.float32) * scale).astype(jnp.int32))
+        xfs.append(kp.xf * scale)
+        yfs.append(kp.yf * scale)
         scores.append(kp.score)
         masks.append(kp.mask)
         descs.append(feats.descriptors)
@@ -81,6 +83,8 @@ def extract_features(image_bw: jax.Array, cfg: ExtractorConfig) -> Features:
         y=jnp.concatenate(ys),
         score=jnp.concatenate(scores),
         mask=jnp.concatenate(masks),
+        xf=jnp.concatenate(xfs),
+        yf=jnp.concatenate(yfs),
     )
     return Features(keypoints=kps, descriptors=jnp.concatenate(descs))
 

@@ -240,14 +240,9 @@ class SfmEngine:
             )
             idx1 = matches.indices[:, 0]
             idx2 = matches.indices[:, 1]
-            p1 = jnp.stack(
-                [f1.keypoints.x[idx1].astype(jnp.float32), f1.keypoints.y[idx1].astype(jnp.float32)],
-                axis=-1,
-            )
-            p2 = jnp.stack(
-                [f2.keypoints.x[idx2].astype(jnp.float32), f2.keypoints.y[idx2].astype(jnp.float32)],
-                axis=-1,
-            )
+            # Subpixel-refined coordinates feed all geometry downstream.
+            p1 = jnp.stack([f1.keypoints.xf[idx1], f1.keypoints.yf[idx1]], axis=-1)
+            p2 = jnp.stack([f2.keypoints.xf[idx2], f2.keypoints.yf[idx2]], axis=-1)
             mask = matches.mask
             K1 = jnp.asarray(self._intrinsics(i1), dtype=jnp.float32)
             K2 = jnp.asarray(self._intrinsics(i2), dtype=jnp.float32)
@@ -560,6 +555,7 @@ class SfmEngine:
                 damping_up=ba_cfg.damping_up,
                 damping_down=ba_cfg.damping_down,
                 ftol=ba_cfg.ftol,
+                huber_delta=ba_cfg.huber_delta,
             )
         self.errors_before_after_ba = (
             float(res.initial_mean_error), float(res.final_mean_error)

@@ -23,6 +23,8 @@ class Keypoints(NamedTuple):
     y: jax.Array          # (K,) int32 pixel row
     score: jax.Array      # (K,) float32 detector response
     mask: jax.Array       # (K,) bool
+    xf: jax.Array         # (K,) float32 subpixel-refined column (== x when unrefined)
+    yf: jax.Array         # (K,) float32 subpixel-refined row
 
     @property
     def capacity(self) -> int:
