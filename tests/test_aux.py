@@ -127,3 +127,32 @@ def test_cli_help_and_resize(tmp_path):
     assert main(["resize", str(src), str(dst), "--ratio", "0.5", "--no-exif"]) == 0
     with Image.open(dst / "a.jpg") as im:
         assert im.size == (50, 40)
+
+
+def test_async_checkpointer_roundtrip(tmp_path, rng):
+    import jax
+    from sfmfromscratch_tpu.pipeline.checkpoint import AsyncCheckpointer
+    from sfmfromscratch_tpu.pipeline.incremental import SfmEngine
+    from sfmfromscratch_tpu.pipeline.tracks import MapStore
+    from sfmfromscratch_tpu.config import PipelineConfig
+
+    eng = SfmEngine.__new__(SfmEngine)
+    eng.config = PipelineConfig()
+    eng.map = MapStore()
+    ids = eng.map.add_tracks(rng.standard_normal((6, 3)), rng.uniform(0, 50, (6, 2)), 0)
+    eng.map.add_observations(ids, rng.uniform(0, 50, (6, 2)), 1)
+    eng.global_poses = [(rng.standard_normal(3), rng.standard_normal(3))]
+    eng.global_K = [np.eye(3)]
+    eng._kp_tracks = {1: np.arange(10, dtype=np.int64)}
+    eng._rng_key = jax.random.key(9)
+
+    ck = AsyncCheckpointer(str(tmp_path / "ckpts"))
+    ck.save(eng, next_frame=5, step=1)
+    ck.wait()
+
+    eng2 = SfmEngine.__new__(SfmEngine)
+    eng2.config = PipelineConfig()
+    assert ck.restore(eng2, step=1) == 5
+    np.testing.assert_allclose(eng2.map.points(), eng.map.points())
+    assert eng2.map.num_observations == eng.map.num_observations
+    np.testing.assert_array_equal(eng2._kp_tracks[1], eng._kp_tracks[1])
