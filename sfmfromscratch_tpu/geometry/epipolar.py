@@ -91,12 +91,21 @@ def eight_point_fundamental(
 def epipolar_distances(F: jax.Array, p1: jax.Array, p2: jax.Array) -> jax.Array:
     """Point-to-epipolar-line distances in image 2: |l . x2| / ||l_xy||,
     l = F x1 (reference SFM.py:86-95, :144-151). F is (..., 3, 3); points are
-    (..., N, 2)."""
-    p1h = jnp.concatenate([p1, jnp.ones_like(p1[..., :1])], axis=-1)
-    p2h = jnp.concatenate([p2, jnp.ones_like(p2[..., :1])], axis=-1)
-    lines = p1h @ jnp.swapaxes(F, -1, -2)  # (..., N, 3) = (F @ x1)^T
-    num = jnp.abs(jnp.sum(lines * p2h, axis=-1))
-    den = jnp.sqrt(lines[..., 0] ** 2 + lines[..., 1] ** 2)
+    (N, 2) or (..., N, 2); result broadcasts to (..., N).
+
+    Layout note: the lines are computed component-wise as three (..., N)
+    arrays, never as an (..., N, 3) tensor — a trailing dim of 3 occupies the
+    TPU lane dimension (padded to 128), a 42x memory blowup on the RANSAC
+    hypothesis batch.
+    """
+    x1, y1 = p1[..., 0], p1[..., 1]
+    x2, y2 = p2[..., 0], p2[..., 1]
+    Fb = F[..., None]  # broadcast (..., 3, 3, 1) against (N,)
+    l0 = Fb[..., 0, 0, :] * x1 + Fb[..., 0, 1, :] * y1 + Fb[..., 0, 2, :]
+    l1 = Fb[..., 1, 0, :] * x1 + Fb[..., 1, 1, :] * y1 + Fb[..., 1, 2, :]
+    l2 = Fb[..., 2, 0, :] * x1 + Fb[..., 2, 1, :] * y1 + Fb[..., 2, 2, :]
+    num = jnp.abs(l0 * x2 + l1 * y2 + l2)
+    den = jnp.sqrt(l0 * l0 + l1 * l1)
     return num / jnp.maximum(den, 1e-12)
 
 

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from sfmfromscratch_tpu.ops.lie import so3_exp, so3_log
-from sfmfromscratch_tpu.ops.smallsvd import nullvec_lstsq
+from sfmfromscratch_tpu.ops.smallsvd import nullvec_lstsq, nullvec_normal_eq
 from sfmfromscratch_tpu.geometry.ransac import sample_minimal_indices
 
 
@@ -95,11 +95,19 @@ def _normalize_3d(X: jax.Array, w: Optional[jax.Array] = None):
 
 
 def _dlt_projection(
-    X: jax.Array, x: jax.Array, w: Optional[jax.Array] = None
+    X: jax.Array, x: jax.Array, w: Optional[jax.Array] = None,
+    precise: bool = True,
 ) -> jax.Array:
     """(..., M, 3) world points + (..., M, 2) pixels -> (..., 3, 4) projection
-    matrix via the normalized 2M x 12 DLT system (null vector by eigh).
-    Optional per-point weights zero out masked rows."""
+    matrix via the normalized 2M x 12 DLT system. Optional per-point weights
+    zero out masked rows.
+
+    ``precise=False`` solves the null vector by eigh(A^T A) instead of a full
+    SVD — with Hartley-normalized inputs the conditioning is benign enough for
+    RANSAC hypothesis generation (scored at an 8 px gate and polished by LM),
+    and the batched 12x12 eigh is several times cheaper than QDWH-SVD at
+    B ~ 6000.
+    """
     xn, T = _normalize_2d(x, w)
     Xn, Unorm = _normalize_3d(X, w)
     ones = jnp.ones_like(Xn[..., :1])
@@ -113,7 +121,7 @@ def _dlt_projection(
         r1 = r1 * w[..., None]
         r2 = r2 * w[..., None]
     A = jnp.concatenate([r1, r2], axis=-2)                    # (..., 2M, 12)
-    p = nullvec_lstsq(A)
+    p = nullvec_lstsq(A) if precise else nullvec_normal_eq(A)
     Pn = p.reshape(p.shape[:-1] + (3, 4))
     # Denormalize: x ~ T^-1 Pn U X_h.
     return jnp.linalg.inv(T) @ Pn @ Unorm
@@ -143,12 +151,19 @@ def _pose_from_projection(P: jax.Array, K: jax.Array):
 
 
 def _reproj_errors(R: jax.Array, t: jax.Array, K: jax.Array, X: jax.Array, x: jax.Array):
-    """(..., N) pixel reprojection errors."""
-    cam = jnp.einsum("...ij,nj->...ni", R, X) + t[..., None, :]
-    pix = jnp.einsum("ij,...nj->...ni", K, cam)
-    z = pix[..., 2:3]
-    proj = pix[..., :2] / jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
-    return jnp.linalg.norm(proj - x, axis=-1)
+    """(..., N) pixel reprojection errors, component-wise layout (an
+    (..., N, 3) tensor would waste 42x memory in the TPU lane dim over the
+    hypothesis batch)."""
+    P = K @ jnp.concatenate([R, t[..., :, None]], axis=-1)   # (..., 3, 4)
+    Xx, Xy, Xz = X[:, 0], X[:, 1], X[:, 2]
+    Pb = P[..., None]                                        # (..., 3, 4, 1)
+    h0 = Pb[..., 0, 0, :] * Xx + Pb[..., 0, 1, :] * Xy + Pb[..., 0, 2, :] * Xz + Pb[..., 0, 3, :]
+    h1 = Pb[..., 1, 0, :] * Xx + Pb[..., 1, 1, :] * Xy + Pb[..., 1, 2, :] * Xz + Pb[..., 1, 3, :]
+    h2 = Pb[..., 2, 0, :] * Xx + Pb[..., 2, 1, :] * Xy + Pb[..., 2, 2, :] * Xz + Pb[..., 2, 3, :]
+    z = jnp.where(jnp.abs(h2) < 1e-12, 1e-12, h2)
+    du = h0 / z - x[:, 0]
+    dv = h1 / z - x[:, 1]
+    return jnp.sqrt(du * du + dv * dv)
 
 
 def _lm_refine(rvec0, t0, K, X, x, w, num_iters: int = 10):
@@ -213,7 +228,7 @@ def pnp_ransac(
     idx = sample_minimal_indices(key, n, mask, num_hypotheses, sample_size)
     Xs = points3d[idx]                                       # (B, s, 3)
     xs = points2d[idx]                                       # (B, s, 2)
-    P = _dlt_projection(Xs, xs)                              # (B, 3, 4)
+    P = _dlt_projection(Xs, xs, precise=False)               # (B, 3, 4)
     R, t = _pose_from_projection(P, K)                       # (B,3,3), (B,3)
 
     errs = _reproj_errors(R, t, K, points3d, points2d)       # (B, N)

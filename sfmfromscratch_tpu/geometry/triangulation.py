@@ -139,15 +139,41 @@ def two_view_depths(
     a full DLT over every point per RANSAC candidate (SFM.py:105-124), made
     cheap enough to evaluate for thousands of hypotheses at once.
     """
-    x1h = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], axis=-1)
-    x2h = jnp.concatenate([x2, jnp.ones_like(x2[..., :1])], axis=-1)
-    r1 = x1h @ jnp.swapaxes(jnp.linalg.inv(K1), -1, -2)
-    r2 = x2h @ jnp.swapaxes(jnp.linalg.inv(K2), -1, -2)
-    c = r1 @ jnp.swapaxes(R, -1, -2)  # (..., N, 3) rotated rays
-    cx = jnp.cross(c, r2)
-    tx = jnp.cross(t[..., None, :], r2)  # broadcasts over batch dims
-    denom = jnp.sum(cx * cx, axis=-1)
-    z1 = -jnp.sum(cx * tx, axis=-1) / jnp.maximum(denom, 1e-12)
-    X2 = z1[..., None] * c + t[..., None, :]
-    z2 = X2[..., 2]
+    # Component-wise layout: every per-point quantity is an (..., N) array —
+    # an (..., N, 3) tensor would put 3 in the TPU lane dimension (padded to
+    # 128, a 42x blowup over the hypothesis batch).
+    K1i = jnp.linalg.inv(K1)
+    K2i = jnp.linalg.inv(K2)
+    u1, v1 = x1[..., 0], x1[..., 1]
+    u2, v2 = x2[..., 0], x2[..., 1]
+
+    def backproject(Ki, u, v):
+        return (
+            Ki[0, 0] * u + Ki[0, 1] * v + Ki[0, 2],
+            Ki[1, 0] * u + Ki[1, 1] * v + Ki[1, 2],
+            Ki[2, 0] * u + Ki[2, 1] * v + Ki[2, 2],
+        )
+
+    r1x, r1y, r1z = backproject(K1i, u1, v1)       # (N,) rays
+    r2x, r2y, r2z = backproject(K2i, u2, v2)
+
+    Rb = R[..., None]                               # (..., 3, 3, 1)
+    cx_ = Rb[..., 0, 0, :] * r1x + Rb[..., 0, 1, :] * r1y + Rb[..., 0, 2, :] * r1z
+    cy_ = Rb[..., 1, 0, :] * r1x + Rb[..., 1, 1, :] * r1y + Rb[..., 1, 2, :] * r1z
+    cz_ = Rb[..., 2, 0, :] * r1x + Rb[..., 2, 1, :] * r1y + Rb[..., 2, 2, :] * r1z
+
+    tb = t[..., None]                               # (..., 3, 1)
+    tx_, ty_, tz_ = tb[..., 0, :], tb[..., 1, :], tb[..., 2, :]
+
+    # cross(c, r2) and cross(t, r2), component-wise
+    ax = cy_ * r2z - cz_ * r2y
+    ay = cz_ * r2x - cx_ * r2z
+    az = cx_ * r2y - cy_ * r2x
+    bx = ty_ * r2z - tz_ * r2y
+    by = tz_ * r2x - tx_ * r2z
+    bz = tx_ * r2y - ty_ * r2x
+
+    denom = ax * ax + ay * ay + az * az
+    z1 = -(ax * bx + ay * by + az * bz) / jnp.maximum(denom, 1e-12)
+    z2 = z1 * cz_ + tz_
     return z1, z2

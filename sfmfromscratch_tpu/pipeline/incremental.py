@@ -37,7 +37,11 @@ import numpy as np
 from sfmfromscratch_tpu.config import PipelineConfig
 from sfmfromscratch_tpu.geometry.camera import SensorType, intrinsics_from_exif, projection_matrix
 from sfmfromscratch_tpu.geometry.pnp import pnp_ransac
-from sfmfromscratch_tpu.geometry.ransac import ransac_essential_pose, ransac_fundamental
+from sfmfromscratch_tpu.geometry.ransac import (
+    ransac_essential_pose,
+    ransac_fundamental,
+    ransac_fundamental_batch,
+)
 from sfmfromscratch_tpu.geometry.triangulation import refine_points_gn, triangulate_dlt
 from sfmfromscratch_tpu.ba.problem import make_problem
 from sfmfromscratch_tpu.ba.lm import bundle_adjust
@@ -90,6 +94,101 @@ def _bootstrap_device(key, p1, p2, K1, K2, mask, num_hypotheses: int, threshold)
     return pose.inliers, X, rvec, pose.t, P2
 
 
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses", "max_points", "kp_capacity"))
+def _chain_scan_device(
+    keys,            # (F,) PRNG keys
+    p1_all,          # (F, M, 2)
+    p2_all,          # (F, M, 2)
+    idx1_all,        # (F, M) int32
+    idx2_all,        # (F, M) int32
+    mask_all,        # (F, M) bool
+    K2_all,          # (F, 3, 3)
+    kp_tracks0,      # (kp_capacity,) int32 — track per keypoint of image 2
+    points0,         # (max_points, 3) f32 — bootstrap tracks at the front
+    n_points0,       # () int32
+    P2_0,            # (3, 4) bootstrap projection
+    num_hypotheses: int,
+    reproj_threshold,
+    max_points: int,
+    kp_capacity: int,
+):
+    """The WHOLE sequential PnP chain as one on-device ``lax.scan``.
+
+    The host version pays one tunnel round trip per frame for bookkeeping
+    (~0.25 s each over the tunneled chip); here the track table itself lives
+    on device — keypoint->track linking, new-track id assignment (cumsum),
+    and the map scatter are all fixed-shape array ops — so the entire chain
+    is ONE dispatch and ONE result fetch regardless of sequence length.
+
+    Per frame emits fixed-capacity observation records:
+      slots [0, M)  re-observations of linked tracks (valid = PnP inlier)
+      slots [M, 2M) first observations of freshly triangulated tracks
+    """
+
+    def step(carry, xs):
+        kp_tracks_prev, points, n_points, P_prev = carry
+        key, p1, p2, idx1, idx2, mask, K2 = xs
+
+        linked = jnp.where(mask, kp_tracks_prev[idx1], -1)
+        sel = linked >= 0
+        X_known = points[jnp.clip(linked, 0, max_points - 1)]
+
+        pose = pnp_ransac(
+            key, X_known, p2, K2, mask=sel,
+            num_hypotheses=num_hypotheses, reproj_threshold=reproj_threshold,
+        )
+        pnp_inl = pose.inliers & sel
+
+        P2 = projection_matrix(pose.R, pose.t, K2)
+        X_new = triangulate_dlt(p1, p2, P_prev, P2)
+        new_sel = mask & jnp.logical_not(sel)
+        X_new = refine_points_gn(X_new, p1, p2, P_prev, P2, mask=new_sel, num_iters=8)
+        Xh_w = jnp.concatenate([X_new, jnp.ones_like(X_new[:, :1])], axis=1)
+        z1 = (Xh_w @ P_prev.T)[:, 2]
+        z2 = (Xh_w @ P2.T)[:, 2]
+        ok_new = new_sel & (z1 > 1e-6) & (z2 > 1e-6)
+
+        # Fresh track ids by prefix sum; capacity overflow drops silently.
+        offs = jnp.cumsum(ok_new.astype(jnp.int32)) - 1
+        new_id = n_points + offs
+        in_cap = ok_new & (new_id < max_points)
+        scatter_ids = jnp.where(in_cap, new_id, max_points)  # OOB => dropped
+        points = points.at[scatter_ids].set(X_new, mode="drop")
+        n_points = jnp.minimum(
+            n_points + jnp.sum(ok_new.astype(jnp.int32)), max_points
+        )
+
+        # Keypoint->track table for the next frame's left image. Two masked
+        # scatter passes (re-observations, then fresh tracks) — matching the
+        # host loop's write order — and invalid rows are DROPPED, not written
+        # as -1 (they must not clobber a valid duplicate keypoint row).
+        kp_tracks_next = jnp.full((kp_capacity,), -1, jnp.int32)
+        ids_l = jnp.where(pnp_inl, idx2, kp_capacity)
+        kp_tracks_next = kp_tracks_next.at[ids_l].set(
+            linked.astype(jnp.int32), mode="drop"
+        )
+        ids_n = jnp.where(in_cap, idx2, kp_capacity)
+        kp_tracks_next = kp_tracks_next.at[ids_n].set(
+            new_id.astype(jnp.int32), mode="drop"
+        )
+
+        obs_track = jnp.concatenate([
+            jnp.where(pnp_inl, linked, -1), jnp.where(in_cap, new_id, -1)
+        ]).astype(jnp.int32)
+        obs_xy = jnp.concatenate([p2, p2], axis=0)
+        rvec = so3_log(pose.R)
+        out = (rvec, pose.t, pose.ok, pose.num_inliers, obs_track, obs_xy)
+        return (kp_tracks_next, points, n_points, P2), out
+
+    xs = (keys, p1_all, p2_all, idx1_all, idx2_all, mask_all, K2_all)
+    carry0 = (kp_tracks0, points0, n_points0, P2_0)
+    (kp_last, points, n_points, P_last), outs = jax.lax.scan(step, carry0, xs)
+    rvecs, ts, oks, ninl, obs_track, obs_xy = outs
+    return rvecs, ts, oks, ninl, obs_track, obs_xy, points, n_points
+
+
 class SfmEngine:
     """Incremental SfM over an ordered image sequence.
 
@@ -111,6 +210,7 @@ class SfmEngine:
         checkpoint_every: Optional[int] = None,
         checkpoint_path: Optional[str] = None,
         mesh=None,
+        chain_mode: str = "auto",
         pair_window: int = 1,
         local_ba_every: Optional[int] = None,
         local_ba_window: int = 5,
@@ -134,6 +234,8 @@ class SfmEngine:
         # (Runner.py:183-184); w>1 also matches (i, i+2..i+w) and links their
         # observations into existing tracks (multi-view constraints the
         # reference never forms).
+        assert chain_mode in ("auto", "host", "scan")
+        self.chain_mode = chain_mode
         self.pair_window = max(1, int(pair_window))
         # Windowed bundle adjustment cadence: every k chain frames, re-optimize
         # the trailing `local_ba_window` cameras + the whole point set with
@@ -221,7 +323,8 @@ class SfmEngine:
         return feats
 
     def _match_pairs(self, feats: Dict[int, Features]) -> None:
-        """Consecutive-pair matching + inlier filtering (STAGE A)."""
+        """Consecutive-pair matching + inlier filtering (STAGE A). The robust
+        inlier filters of ALL pairs run as one vmapped RANSAC program."""
         t0 = time.time()
         mcfg = self.config.matcher
         pairs = [
@@ -229,6 +332,7 @@ class SfmEngine:
             for i1 in range(1, self.max_img)
             for i2 in range(i1 + 1, min(i1 + self.pair_window, self.max_img) + 1)
         ]
+        staged = {}
         for i1, i2 in pairs:
             f1, f2 = feats[i1], feats[i2]
             matches = match_ratio_test(
@@ -243,16 +347,26 @@ class SfmEngine:
             # Subpixel-refined coordinates feed all geometry downstream.
             p1 = jnp.stack([f1.keypoints.xf[idx1], f1.keypoints.yf[idx1]], axis=-1)
             p2 = jnp.stack([f2.keypoints.xf[idx2], f2.keypoints.yf[idx2]], axis=-1)
-            mask = matches.mask
+            staged[(i1, i2)] = (p1, p2, idx1, idx2, matches.mask)
+
+        filt = [key for key in staged if key != (1, 2)]
+        if filt:
+            keys = jax.random.split(self._next_key(), len(filt))
+            res = ransac_fundamental_batch(
+                keys,
+                jnp.stack([staged[k][0] for k in filt]),
+                jnp.stack([staged[k][1] for k in filt]),
+                jnp.stack([staged[k][4] for k in filt]),
+                num_hypotheses=self._num_hyp,
+                threshold=self.config.ransac.epipolar_threshold,
+            )
+        for n, key in enumerate(staged):
+            p1, p2, idx1, idx2, mask = staged[key]
+            if key != (1, 2):
+                mask = res.inliers[filt.index(key)]
+            i1, i2 = key
             K1 = jnp.asarray(self._intrinsics(i1), dtype=jnp.float32)
             K2 = jnp.asarray(self._intrinsics(i2), dtype=jnp.float32)
-            if (i1, i2) != (1, 2):
-                res = ransac_fundamental(
-                    self._next_key(), p1, p2, mask,
-                    num_hypotheses=self._num_hyp,
-                    threshold=self.config.ransac.epipolar_threshold,
-                )
-                mask = res.inliers
             self.pair_geometry[(i1, i2)] = PairGeometry(
                 p1=p1, p2=p2, idx1=idx1, idx2=idx2, mask=mask, K1=K1, K2=K2
             )
@@ -269,13 +383,15 @@ class SfmEngine:
             self._next_key(), pg.p1, pg.p2, pg.K1, pg.K2, pg.mask,
             self._num_hyp, self.config.ransac.epipolar_threshold,
         )
-        # ONE host fetch for the stage (plus the pair's p2/idx2).
-        inl_np, p3d_np, rvec, tvec, P2 = (
-            *jax.device_get(out[:4]), out[4]
+        # ONE host fetch for the whole stage (every device_get call costs a
+        # full tunnel round trip regardless of payload size).
+        inl_np, p3d_np, rvec, tvec, p2_np, idx2_np = jax.device_get(
+            (out[0], out[1], out[2], out[3], pg.p2, pg.idx2)
         )
+        P2 = out[4]
         p3d_np = np.asarray(p3d_np, dtype=np.float64)
-        p2_np = np.asarray(jax.device_get(pg.p2), dtype=np.float64)
-        idx2_np = np.asarray(jax.device_get(pg.idx2))
+        p2_np = np.asarray(p2_np, dtype=np.float64)
+        idx2_np = np.asarray(idx2_np)
 
         # Frame 0 of the BA problem observes through the second physical image
         # (the identity base camera never enters BA — reference Runner.py:212-218).
@@ -567,13 +683,88 @@ class SfmEngine:
         ]
         self.stage_times[stage] = self.stage_times.get(stage, 0.0) + time.time() - t0
 
+    def _use_scan_chain(self) -> bool:
+        if self.chain_mode == "scan":
+            return True
+        if self.chain_mode == "host":
+            return False
+        # auto: the scan path covers the default configuration; host features
+        # (recovery, windowed pairs/BA, checkpoints, distance assoc) need the
+        # per-frame host loop.
+        return (
+            self.assoc_mode == "index"
+            and self.pair_window == 1
+            and self.local_ba_every is None
+            and self.checkpoint_every is None
+            and self.on_pose_failure == "raise"
+        )
+
+    def _chain_scan(self, P2) -> None:
+        """STAGE C as one on-device scan: single dispatch + single fetch for
+        the whole sequence (see _chain_scan_device)."""
+        t0 = time.time()
+        F = self.max_img - 2
+        if F <= 0:
+            self.stage_times["chain"] = time.time() - t0
+            return
+        pairs = [self.pair_geometry[(i, i + 1)] for i in range(2, self.max_img)]
+        p1_all = jnp.stack([pg.p1 for pg in pairs])
+        p2_all = jnp.stack([pg.p2 for pg in pairs])
+        idx1_all = jnp.stack([pg.idx1 for pg in pairs]).astype(jnp.int32)
+        idx2_all = jnp.stack([pg.idx2 for pg in pairs]).astype(jnp.int32)
+        mask_all = jnp.stack([pg.mask for pg in pairs])
+        K2_all = jnp.stack([pg.K2 for pg in pairs])
+        keys = jax.random.split(self._next_key(), F)
+
+        kp_capacity = len(self._kp_tracks[2])
+        max_points = self.config.max_points
+        n0 = self.map.num_tracks
+        points0 = jnp.zeros((max_points, 3), jnp.float32)
+        points0 = points0.at[:n0].set(
+            jnp.asarray(self.map.points(), jnp.float32)
+        )
+        kp_tracks0 = jnp.asarray(self._kp_tracks[2], jnp.int32)
+
+        out = _chain_scan_device(
+            keys, p1_all, p2_all, idx1_all, idx2_all, mask_all, K2_all,
+            kp_tracks0, points0, jnp.asarray(n0, jnp.int32), P2,
+            self._num_hyp, self.config.ransac.pnp_reproj_threshold,
+            max_points, kp_capacity,
+        )
+        # ONE host fetch for the whole chain.
+        rvecs, ts, oks, ninl, obs_track, obs_xy, points, n_points = jax.device_get(out)
+
+        bad = np.nonzero(~np.asarray(oks))[0]
+        if len(bad):
+            raise RuntimeError(
+                f"Cannot determine pose for pair ({int(bad[0]) + 2}, {int(bad[0]) + 3})"
+            )
+
+        n_points = int(n_points)
+        self.map.append_points_raw(points[n0:n_points])
+        for f in range(F):
+            current_frame = len(self.global_poses)
+            tr = obs_track[f]
+            valid = tr >= 0
+            self.map.add_observations(
+                np.where(valid, tr, -1), obs_xy[f], current_frame
+            )
+            self.global_poses.append((
+                np.asarray(rvecs[f], np.float64), np.asarray(ts[f], np.float64)
+            ))
+            self.global_K.append(np.asarray(pairs[f].K2, np.float64))
+        self.stage_times["chain"] = time.time() - t0
+
     # ------------------------------------------------------------------ driver
 
     def run(self) -> "SfmEngine":
         feats = self._extract_all_features()
         self._match_pairs(feats)
         p3d, p2_obs, track_ids, P2 = self._bootstrap()
-        self._chain(p3d, p2_obs, track_ids, P2)
+        if self._use_scan_chain():
+            self._chain_scan(P2)
+        else:
+            self._chain(p3d, p2_obs, track_ids, P2)
         self._global_ba()
         if self.model_name is not None:
             self.save_data()

@@ -55,6 +55,18 @@ class MapStore:
         self._points_cache = None
         return ids
 
+    def append_points_raw(self, points_3d: np.ndarray) -> int:
+        """Register tracks WITHOUT observations (the observation stream is
+        appended separately — used by the on-device scan chain). Returns the
+        first new track id."""
+        points_3d = np.asarray(points_3d, dtype=np.float64).reshape(-1, 3)
+        first = self._num_tracks
+        if len(points_3d):
+            self._point_chunks.append(points_3d)
+            self._num_tracks += len(points_3d)
+            self._points_cache = None
+        return first
+
     def add_observations(self, track_ids: np.ndarray, points_2d: np.ndarray,
                          frame_idx: int, mask: Optional[np.ndarray] = None) -> None:
         """Attach observations of existing tracks in a new frame (vectorized;

@@ -151,3 +151,29 @@ def test_engine_ate_vs_ground_truth(engine, rendered):
     ate = absolute_trajectory_error(est_centers, gt_centers)
     extent = np.linalg.norm(gt_centers.max(0) - gt_centers.min(0))
     assert ate < 0.1 * max(extent, 1e-6), (ate, extent)
+
+
+def test_scan_chain_matches_host_chain(rendered):
+    """The on-device scan chain and the host-loop chain produce equivalent
+    reconstructions (same track/observation counts, same final quality)."""
+    from sfmfromscratch_tpu.pipeline.incremental import SfmEngine
+
+    scan = SfmEngine(rendered["dir"], rendered["n"], config=_small_config(),
+                     single_K=rendered["K"], chain_mode="scan")
+    host = SfmEngine(rendered["dir"], rendered["n"], config=_small_config(),
+                     single_K=rendered["K"], chain_mode="host")
+    assert scan.map.num_tracks == host.map.num_tracks
+    assert scan.map.num_observations == host.map.num_observations
+    assert len(scan.global_poses) == len(host.global_poses)
+    assert abs(scan.errors_before_after_ba[1] - host.errors_before_after_ba[1]) < 0.2
+    # The two modes consume different PRNG streams (per-frame split vs one
+    # batched split), so solutions agree in quality/structure, not bitwise:
+    # compare the structures after similarity alignment.
+    from sfmfromscratch_tpu.utils.metrics import umeyama_alignment
+
+    a, b = scan.map.points(), host.map.points()
+    R, t, sc = umeyama_alignment(a, b)
+    aligned = sc * a @ R.T + t
+    rms = np.sqrt(np.mean(np.sum((aligned - b) ** 2, axis=1)))
+    extent = np.linalg.norm(b.max(0) - b.min(0))
+    assert rms < 0.1 * extent
