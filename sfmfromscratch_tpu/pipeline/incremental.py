@@ -105,6 +105,7 @@ def _chain_scan_device(
     idx2_all,        # (F, M) int32
     mask_all,        # (F, M) bool
     K2_all,          # (F, 3, 3)
+    frame_valid,     # (F,) bool — padding frames are pass-through
     kp_tracks0,      # (kp_capacity,) int32 — track per keypoint of image 2
     points0,         # (max_points, 3) f32 — bootstrap tracks at the front
     n_points0,       # () int32
@@ -129,8 +130,11 @@ def _chain_scan_device(
 
     def step(carry, xs):
         kp_tracks_prev, points, n_points, P_prev = carry
-        key, p1, p2, idx1, idx2, mask, K2 = xs
+        key, p1, p2, idx1, idx2, mask, K2, frame_valid = xs
 
+        # Padding frames (scan length is bucketed so different sequence
+        # lengths share one compiled program) carry state through unchanged.
+        mask = mask & frame_valid
         linked = jnp.where(mask, kp_tracks_prev[idx1], -1)
         sel = linked >= 0
         X_known = points[jnp.clip(linked, 0, max_points - 1)]
@@ -179,10 +183,14 @@ def _chain_scan_device(
         ]).astype(jnp.int32)
         obs_xy = jnp.concatenate([p2, p2], axis=0)
         rvec = so3_log(pose.R)
-        out = (rvec, pose.t, pose.ok, pose.num_inliers, obs_track, obs_xy)
+        # Freeze carry on padding frames.
+        P2 = jnp.where(frame_valid, P2, P_prev)
+        kp_tracks_next = jnp.where(frame_valid, kp_tracks_next, kp_tracks_prev)
+        ok = jnp.where(frame_valid, pose.ok, True)
+        out = (rvec, pose.t, ok, pose.num_inliers, obs_track, obs_xy)
         return (kp_tracks_next, points, n_points, P2), out
 
-    xs = (keys, p1_all, p2_all, idx1_all, idx2_all, mask_all, K2_all)
+    xs = (keys, p1_all, p2_all, idx1_all, idx2_all, mask_all, K2_all, frame_valid)
     carry0 = (kp_tracks0, points0, n_points0, P2_0)
     (kp_last, points, n_points, P_last), outs = jax.lax.scan(step, carry0, xs)
     rvecs, ts, oks, ninl, obs_track, obs_xy = outs
@@ -351,12 +359,16 @@ class SfmEngine:
 
         filt = [key for key in staged if key != (1, 2)]
         if filt:
-            keys = jax.random.split(self._next_key(), len(filt))
+            # Bucket the pair axis so sequences of different lengths reuse one
+            # compiled program (vmapped programs compile per leading dim).
+            Fp = ((len(filt) + 7) // 8) * 8
+            pad_keys = filt + [filt[-1]] * (Fp - len(filt))
+            keys = jax.random.split(self._next_key(), Fp)
             res = ransac_fundamental_batch(
                 keys,
-                jnp.stack([staged[k][0] for k in filt]),
-                jnp.stack([staged[k][1] for k in filt]),
-                jnp.stack([staged[k][4] for k in filt]),
+                jnp.stack([staged[k][0] for k in pad_keys]),
+                jnp.stack([staged[k][1] for k in pad_keys]),
+                jnp.stack([staged[k][4] for k in pad_keys]),
                 num_hypotheses=self._num_hyp,
                 threshold=self.config.ransac.epipolar_threshold,
             )
@@ -708,13 +720,19 @@ class SfmEngine:
             self.stage_times["chain"] = time.time() - t0
             return
         pairs = [self.pair_geometry[(i, i + 1)] for i in range(2, self.max_img)]
-        p1_all = jnp.stack([pg.p1 for pg in pairs])
-        p2_all = jnp.stack([pg.p2 for pg in pairs])
-        idx1_all = jnp.stack([pg.idx1 for pg in pairs]).astype(jnp.int32)
-        idx2_all = jnp.stack([pg.idx2 for pg in pairs]).astype(jnp.int32)
-        mask_all = jnp.stack([pg.mask for pg in pairs])
-        K2_all = jnp.stack([pg.K2 for pg in pairs])
-        keys = jax.random.split(self._next_key(), F)
+        # Bucket the scan length so different sequence lengths reuse one
+        # compiled program (scan compiles per length).
+        Fp = ((F + 7) // 8) * 8
+        pad = Fp - F
+        pairs_p = pairs + [pairs[-1]] * pad
+        p1_all = jnp.stack([pg.p1 for pg in pairs_p])
+        p2_all = jnp.stack([pg.p2 for pg in pairs_p])
+        idx1_all = jnp.stack([pg.idx1 for pg in pairs_p]).astype(jnp.int32)
+        idx2_all = jnp.stack([pg.idx2 for pg in pairs_p]).astype(jnp.int32)
+        mask_all = jnp.stack([pg.mask for pg in pairs_p])
+        K2_all = jnp.stack([pg.K2 for pg in pairs_p])
+        frame_valid = jnp.arange(Fp) < F
+        keys = jax.random.split(self._next_key(), Fp)
 
         kp_capacity = len(self._kp_tracks[2])
         max_points = self.config.max_points
@@ -727,6 +745,7 @@ class SfmEngine:
 
         out = _chain_scan_device(
             keys, p1_all, p2_all, idx1_all, idx2_all, mask_all, K2_all,
+            frame_valid,
             kp_tracks0, points0, jnp.asarray(n0, jnp.int32), P2,
             self._num_hyp, self.config.ransac.pnp_reproj_threshold,
             max_points, kp_capacity,
