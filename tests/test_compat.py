@@ -145,3 +145,35 @@ def test_bundle_adjustment_compat(rng):
                              np.asarray(problem.obs_xy), np.asarray(problem.K))
     assert r.shape == (len(frames) * 2,)
     assert np.sqrt(np.mean(r**2)) < 2.0
+
+
+def test_sfmrunner_compat_end_to_end(tmp_path):
+    """compat.SFMRunner: reference constructor signature, reference-style
+    attributes populated after the run (Runner.py:128-177 contract)."""
+    from tests.render import render_sequence, write_sequence
+    from sfmfromscratch_tpu.compat import SFMRunner
+
+    images, K, poses, X = render_sequence(
+        np.random.default_rng(21), num_views=3, num_points=90, img_hw=(160, 220), f=300.0,
+        step_t=(-0.2, 0.02, 0.03), step_r=(0.008, -0.02, 0.005),
+    )
+    d = tmp_path / "seq"
+    d.mkdir()
+    write_sequence(str(d), images)
+    K_half = K.copy()
+    K_half[:2] *= 0.5  # SFMRunner works at the reference's 0.5 prescale
+
+    params = {"num_interest_points": 300, "ksize": 3, "feature_width": 16,
+              "pyramid_level": 2, "pyramid_scale_factor": 1.2, "sigma": 3.0}
+    runner = SFMRunner(str(d), 3, params, match_threshold=0.85,
+                       single_K=K_half, model_name="compat_model",
+                       output_dir=str(tmp_path / "out"))
+    # Reference-style state
+    assert len(runner.global_points_3D) > 20
+    assert len(runner.global_points_2D) == len(runner.frame_indices)
+    assert len(runner.point_indices) == len(runner.frame_indices)
+    assert len(runner.global_poses) == 2
+    assert runner.global_poses[0][0].shape == (3, 1)  # rodrigues column
+    assert (tmp_path / "out" / "compat_model.npz").exists()
+    data = SFMRunner.load("compat_model", output_dir=str(tmp_path / "out"), show=False)
+    assert data["p3d"].shape[1] == 3
