@@ -55,6 +55,12 @@ class RansacConfig:
     epipolar_threshold: float = 1.0
     pnp_reproj_threshold: float = 8.0
     max_iterations: Optional[int] = None  # None => derived from the probabilities
+    # PnP hypothesis generator: "p3p" (closed-form Grunert minimal solver,
+    # 3-point samples, no eigendecomposition — geometry/p3p.py) or "dlt"
+    # (6-point DLT; the reference's cv2.solvePnPRansac uses an iterative
+    # minimal solver internally, PoseEstimator.py:54-62).
+    pnp_solver: str = "p3p"
+    pnp_max_iterations: Optional[int] = None
 
     def num_iterations(self) -> int:
         if self.max_iterations is not None:
@@ -65,6 +71,22 @@ class RansacConfig:
             1.0 - self.ind_prob_correct ** self.sample_size
         )
         return int(n)
+
+    def pnp_num_iterations(self) -> int:
+        """Hypothesis count for the PnP stage.  3-point samples hit an
+        all-inlier draw ~w^3 vs the 8-point stage's w^8, so far fewer
+        iterations reach the same confidence; a generous floor of 512 keeps
+        robustness headroom (each P3P sample is ~pure arithmetic)."""
+        if self.pnp_max_iterations is not None:
+            return self.pnp_max_iterations
+        if self.pnp_solver == "p3p":
+            import math
+
+            n = math.log(1.0 - self.prob_success) / math.log(
+                1.0 - self.ind_prob_correct ** 3
+            )
+            return max(512, int(n))
+        return self.num_iterations()
 
 
 @dataclasses.dataclass(frozen=True)

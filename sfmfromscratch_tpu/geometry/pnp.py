@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from sfmfromscratch_tpu.ops.lie import so3_exp, so3_log
 from sfmfromscratch_tpu.ops.smallsvd import nullvec_lstsq, nullvec_normal_eq
+from sfmfromscratch_tpu.geometry.p3p import p3p_poses
 from sfmfromscratch_tpu.geometry.ransac import sample_minimal_indices
 
 
@@ -201,7 +202,10 @@ def _lm_refine(rvec0, t0, K, X, x, w, num_iters: int = 10):
     return p[:3], p[3:]
 
 
-@functools.partial(jax.jit, static_argnames=("num_hypotheses", "sample_size", "refine_iters"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_hypotheses", "sample_size", "refine_iters", "solver"),
+)
 def pnp_ransac(
     key: jax.Array,
     points3d: jax.Array,
@@ -210,11 +214,17 @@ def pnp_ransac(
     mask: Optional[jax.Array] = None,
     num_hypotheses: int = 1000,
     reproj_threshold: float = 8.0,
-    sample_size: int = 6,
+    sample_size: Optional[int] = None,
     refine_iters: int = 10,
     min_points: int = 4,
+    solver: str = "p3p",
 ) -> PnPResult:
     """Robust 2D-3D pose (reference ``PnPRansac``, PoseEstimator.py:32-69).
+
+    ``solver="p3p"`` (default) generates hypotheses with the closed-form
+    Grunert minimal solver (geometry/p3p.py) — 3-point samples, up to 4 poses
+    each, no eigendecomposition; ``solver="dlt"`` keeps the 6-point DLT
+    (12x12 eigh) generator.
 
     Returns world-to-camera (R, t) with the inlier mask; ``ok`` is False when
     support is insufficient (reference returns None poses below 4 points,
@@ -225,14 +235,23 @@ def pnp_ransac(
         mask = jnp.ones((n,), dtype=bool)
     n_valid = jnp.sum(mask)
 
+    if sample_size is None:
+        sample_size = 3 if solver == "p3p" else 6
     idx = sample_minimal_indices(key, n, mask, num_hypotheses, sample_size)
     Xs = points3d[idx]                                       # (B, s, 3)
     xs = points2d[idx]                                       # (B, s, 2)
-    P = _dlt_projection(Xs, xs, precise=False)               # (B, 3, 4)
-    R, t = _pose_from_projection(P, K)                       # (B,3,3), (B,3)
+    if solver == "p3p":
+        Rh, th, vh = p3p_poses(Xs, xs, K)                    # (B,4,3,3) ...
+        R = Rh.reshape((-1, 3, 3))                           # (4B, 3, 3)
+        t = th.reshape((-1, 3))
+        hyp_ok = vh.reshape((-1,))
+    else:
+        P = _dlt_projection(Xs, xs, precise=False)           # (B, 3, 4)
+        R, t = _pose_from_projection(P, K)                   # (B,3,3), (B,3)
+        hyp_ok = jnp.ones(R.shape[:1], dtype=bool)
 
-    errs = _reproj_errors(R, t, K, points3d, points2d)       # (B, N)
-    inl = (errs < reproj_threshold) & mask[None, :]
+    errs = _reproj_errors(R, t, K, points3d, points2d)       # (B', N)
+    inl = (errs < reproj_threshold) & mask[None, :] & hyp_ok[:, None]
     scores = jnp.sum(inl, axis=-1)
     best = jnp.argmax(scores)
 

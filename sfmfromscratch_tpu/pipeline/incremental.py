@@ -265,6 +265,7 @@ class SfmEngine:
 
         self._rng_key = jax.random.key(self.config.seed)
         self._num_hyp = self.config.ransac.num_iterations()
+        self._pnp_hyp = self.config.ransac.pnp_num_iterations()
 
         if auto_run:
             self.run()
@@ -483,7 +484,7 @@ class SfmEngine:
                 jnp.asarray(p2_np, dtype=jnp.float32),
                 pg.K2,
                 P2,  # previous frame's projection becomes P1
-                self._num_hyp,
+                self._pnp_hyp,
                 self.config.ransac.pnp_reproj_threshold,
                 jnp.asarray(new_sel),
             )
@@ -747,7 +748,7 @@ class SfmEngine:
             keys, p1_all, p2_all, idx1_all, idx2_all, mask_all, K2_all,
             frame_valid,
             kp_tracks0, points0, jnp.asarray(n0, jnp.int32), P2,
-            self._num_hyp, self.config.ransac.pnp_reproj_threshold,
+            self._pnp_hyp, self.config.ransac.pnp_reproj_threshold,
             max_points, kp_capacity,
         )
         # ONE host fetch for the whole chain.
