@@ -126,6 +126,88 @@ def refine_points_gn(
     return jax.lax.fori_loop(0, num_iters, step, p3d)
 
 
+def triangulate_multiview(
+    P_all: jax.Array,        # (C, 3, 4) projection matrices
+    obs_cam: jax.Array,      # (O,) int32 camera index per observation
+    obs_pt: jax.Array,       # (O,) int32 track index per observation
+    obs_xy: jax.Array,       # (O, 2) pixel observations
+    num_points: int,
+    obs_w: Optional[jax.Array] = None,   # (O,) weights; 0 disables
+    gn_iters: int = 8,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched multiview DLT + Gauss-Newton refine over an observation list.
+
+    The global-SfM counterpart of ``triangulate_dlt``: tracks have arbitrary
+    observation counts, so each track's 4x4 DLT normal matrix is accumulated
+    with a ``segment_sum`` over the flat observation list (DLT rows are
+    unit-normalized first for conditioning), the null vector comes from one
+    batched 4x4 eigh, and refinement accumulates per-track 3x3 normal
+    equations the same way. Returns ``(X (num_points, 3), nobs (num_points,))``
+    where ``nobs`` counts effective observations (tracks need >= 2 to be
+    meaningful).
+    """
+    O = obs_xy.shape[0]
+    w = jnp.ones((O,), obs_xy.dtype) if obs_w is None else obs_w.astype(obs_xy.dtype)
+    P = P_all[obs_cam]                                       # (O, 3, 4)
+    u = obs_xy[..., 0:1]
+    v = obs_xy[..., 1:2]
+    r1 = u * P[:, 2, :] - P[:, 0, :]                         # (O, 4)
+    r2 = v * P[:, 2, :] - P[:, 1, :]
+    r1 = r1 / jnp.maximum(jnp.linalg.norm(r1, axis=-1, keepdims=True), 1e-9)
+    r2 = r2 / jnp.maximum(jnp.linalg.norm(r2, axis=-1, keepdims=True), 1e-9)
+    M_obs = r1[:, :, None] * r1[:, None, :] + r2[:, :, None] * r2[:, None, :]
+    M = jax.ops.segment_sum(w[:, None, None] * M_obs, obs_pt, num_segments=num_points)
+    nobs = jax.ops.segment_sum((w > 0).astype(jnp.int32), obs_pt, num_segments=num_points)
+    # Empty tracks get the identity (null vector undefined but harmless).
+    M = M + 1e-9 * jnp.eye(4, dtype=M.dtype)
+    _, V = jnp.linalg.eigh(M)                                # ascending eigvals
+    Xh = V[..., :, 0]                                        # (num_points, 4)
+    wh = Xh[..., 3:4]
+    X = Xh[..., :3] / jnp.where(
+        jnp.abs(wh) < 1e-12, jnp.where(wh < 0, -1e-12, 1e-12), wh
+    )
+
+    # Gauss-Newton on reprojection, poses fixed, accumulated per track.
+    eye = 1e-6 * jnp.eye(3, dtype=X.dtype)
+
+    def obs_res_jac(X):
+        Xo = X[obs_pt]                                       # (O, 3)
+        Xh = jnp.concatenate([Xo, jnp.ones_like(Xo[:, :1])], axis=-1)
+        h = jnp.einsum("oij,oj->oi", P, Xh)                  # (O, 3)
+        z = jnp.where(jnp.abs(h[:, 2:3]) < 1e-12, 1e-12, h[:, 2:3])
+        r = h[:, :2] / z - obs_xy                            # (O, 2)
+        A = P[:, :2, :3]
+        B = h[:, :2, None] * P[:, None, 2, :3]
+        J = (A * z[:, :, None] - B) / (z[:, :, None] ** 2)   # (O, 2, 3)
+        return r * w[:, None], J * w[:, None, None]
+
+    def track_cost(X):
+        r, _ = obs_res_jac(X)
+        return jax.ops.segment_sum(
+            jnp.sum(r * r, axis=-1), obs_pt, num_segments=num_points
+        )
+
+    def step(_, X):
+        r, J = obs_res_jac(X)
+        JtJ = jax.ops.segment_sum(
+            jnp.einsum("oki,okj->oij", J, J), obs_pt, num_segments=num_points
+        ) + eye
+        g = jax.ops.segment_sum(
+            jnp.einsum("oki,ok->oi", J, r), obs_pt, num_segments=num_points
+        )
+        dx = jnp.linalg.solve(JtJ, g[..., None])[..., 0]
+        X_new = X - dx
+        ok = (
+            jnp.all(jnp.isfinite(X_new), axis=-1)
+            & (track_cost(X_new) <= track_cost(X))
+            & (nobs >= 2)
+        )
+        return jnp.where(ok[:, None], X_new, X)
+
+    X = jax.lax.fori_loop(0, gn_iters, step, X)
+    return X, nobs
+
+
 def two_view_depths(
     R: jax.Array, t: jax.Array, x1: jax.Array, x2: jax.Array,
     K1: jax.Array, K2: jax.Array,

@@ -359,24 +359,31 @@ class SfmEngine:
             staged[(i1, i2)] = (p1, p2, idx1, idx2, matches.mask)
 
         filt = [key for key in staged if key != (1, 2)]
+        filt_inliers: Dict[Tuple[int, int], jax.Array] = {}
         if filt:
-            # Bucket the pair axis so sequences of different lengths reuse one
-            # compiled program (vmapped programs compile per leading dim).
-            Fp = ((len(filt) + 7) // 8) * 8
-            pad_keys = filt + [filt[-1]] * (Fp - len(filt))
-            keys = jax.random.split(self._next_key(), Fp)
-            res = ransac_fundamental_batch(
-                keys,
-                jnp.stack([staged[k][0] for k in pad_keys]),
-                jnp.stack([staged[k][1] for k in pad_keys]),
-                jnp.stack([staged[k][4] for k in pad_keys]),
-                num_hypotheses=self._num_hyp,
-                threshold=self.config.ransac.epipolar_threshold,
-            )
+            # Fixed-size chunks over the pair axis: one compiled program for
+            # every sequence length AND bounded HBM (the batched 8x8 SVD temps
+            # pad 8x8 -> (8,128) tiles, a 16x expansion — vmapping hundreds of
+            # pairs x 5967 hypotheses at once exhausts a 16 GB chip).
+            CHUNK = 16
+            for c0 in range(0, len(filt), CHUNK):
+                chunk = filt[c0:c0 + CHUNK]
+                pad_keys = chunk + [chunk[-1]] * (CHUNK - len(chunk))
+                keys = jax.random.split(self._next_key(), CHUNK)
+                res = ransac_fundamental_batch(
+                    keys,
+                    jnp.stack([staged[k][0] for k in pad_keys]),
+                    jnp.stack([staged[k][1] for k in pad_keys]),
+                    jnp.stack([staged[k][4] for k in pad_keys]),
+                    num_hypotheses=self._num_hyp,
+                    threshold=self.config.ransac.epipolar_threshold,
+                )
+                for ci, k in enumerate(chunk):
+                    filt_inliers[k] = res.inliers[ci]
         for n, key in enumerate(staged):
             p1, p2, idx1, idx2, mask = staged[key]
             if key != (1, 2):
-                mask = res.inliers[filt.index(key)]
+                mask = filt_inliers[key]
             i1, i2 = key
             K1 = jnp.asarray(self._intrinsics(i1), dtype=jnp.float32)
             K2 = jnp.asarray(self._intrinsics(i2), dtype=jnp.float32)
