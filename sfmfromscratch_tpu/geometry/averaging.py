@@ -101,27 +101,97 @@ def translation_averaging(
     cg_iters: int = 64,
     huber_start: float = 0.5,
     huber_final: float = 0.05,
+    edge_s: Optional[jax.Array] = None,   # (E,) per-edge scale estimates
 ) -> jax.Array:
-    """Translation averaging by projection-matrix least squares (Govindu) with
-    IRLS robustness.
+    """Robust translation averaging on the view graph, matrix-free.
 
-    The per-edge scale is eliminated analytically: for fixed directions the
-    optimal ``s_e`` makes each edge term ``d_e^T (I - u_e u_e^T) d_e`` with
-    ``d_e = c_i - c_j`` — a quadratic in the centers alone. The trivial
-    ``c = 0`` collapse is excluded by the linear gauge constraint
-    ``sum_e w_e u_e . d_e = E`` (every edge stretched positively along its
-    direction, total fixed), imposed as a quadratic penalty; camera 0 is
-    pinned at the origin the same way. Each IRLS round is ONE matrix-free CG
-    solve (segment-sums only — no materialized Laplacian); weights Huber-damp
-    edges by residual and softly reject orientation-flipped edges
-    (``u_e . d_e < 0``), the failure mode L2 projection methods are known for.
+    Two regimes, chosen by whether per-edge SCALE estimates are available:
+
+    * ``edge_s`` given (the global pipeline derives them from two-view depth
+      ratios along shared tracks): each IRLS round solves the anchored
+      Laplacian system ``min_c sum_e w_e ||c_i - c_j - s_e u_e||^2`` by CG.
+      Fully determined on ANY connected graph — including near-chains, where
+      direction-only formulations are provably degenerate (a subchain can
+      collapse onto a point while one stretched edge absorbs the gauge).
+      ``s_e`` is re-estimated each round as a blend of the data anchor and
+      the current stretch, so anchor noise washes out as the shape converges.
+
+    * ``edge_s`` absent: Govindu's projection least squares — the scale
+      eliminated analytically via ``||(I - u u^T)(c_i - c_j)||^2`` — with the
+      trivial collapse excluded by the linear gauge ``sum_e w_e u_e . d_e =
+      sum_e w_e`` imposed as a quadratic penalty. Exact on parallel-RIGID
+      graphs; on near-chain graphs prefer supplying ``edge_s``.
+
+    Both regimes Huber-damp edges by their scale-free residual (annealed
+    near-L2 -> near-L1, Weiszfeld-style) and softly reject orientation-flipped
+    edges. Camera 0 is pinned at the origin; one CG solve per round,
+    segment-sums only (nothing materialized), one ``psum`` per matvec when
+    sharded.
     """
     C = num_cameras if num_cameras else c_init.shape[0]
     E = u_dir.shape[0]
     w0 = jnp.ones(E, u_dir.dtype) if edge_w is None else edge_w
     pin = 10.0                                           # camera-0 origin prior
+    sum_w0 = jnp.maximum(jnp.sum(w0), 1e-9)
+    anchored = edge_s is not None
+
+    def cg(apply, c, b):
+        def cg_step(state, _):
+            x, rr, p, rs = state
+            Ap = apply(p)
+            denom = jnp.sum(p * Ap)
+            alpha = rs / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+            x = x + alpha * p
+            rr = rr - alpha * Ap
+            rs_new = jnp.sum(rr * rr)
+            beta = rs_new / jnp.where(rs < 1e-12, 1e-12, rs)
+            return (x, rr, rr + beta * p, rs_new), None
+
+        r0 = b - apply(c)
+        (c_new, *_), _ = jax.lax.scan(
+            cg_step, (c, r0, r0, jnp.sum(r0 * r0)), None, length=cg_iters
+        )
+        return c_new
+
+    decay = (huber_final / huber_start) ** (1.0 / max(num_iters // 2, 1))
+
+    if anchored:
+        s_data = edge_s.astype(u_dir.dtype)
+
+        def apply_L(c, w):
+            d = c[edge_i] - c[edge_j]
+            wd = w[:, None] * d
+            out = jax.ops.segment_sum(wd, edge_i, num_segments=C)
+            out = out - jax.ops.segment_sum(wd, edge_j, num_segments=C)
+            out = out.at[0].add(pin * c[0])
+            return out + 1e-8 * c
+
+        def outer(c, t):
+            delta_t = jnp.maximum(huber_start * decay ** t, huber_final)
+            d = c[edge_i] - c[edge_j]
+            along = jnp.sum(u_dir * d, axis=-1)
+            # Blend the data anchor with the current stretch: by the last
+            # rounds the shape dominates, so anchor noise washes out.
+            lam = 0.5 ** t
+            s = lam * s_data + (1.0 - lam) * jnp.maximum(along, 0.05 * s_data)
+            r = jnp.linalg.norm(d - s[:, None] * u_dir, axis=-1)
+            rn = r / jnp.maximum(s, 1e-9)
+            w = w0 * jnp.minimum(1.0, delta_t / jnp.maximum(rn, 1e-9))
+            wsu = (w * s)[:, None] * u_dir
+            b = jax.ops.segment_sum(wsu, edge_i, num_segments=C)
+            b = b - jax.ops.segment_sum(wsu, edge_j, num_segments=C)
+            c_new = cg(lambda p: apply_L(p, w), c, b)
+            return c_new - c_new[0][None], None
+
+        c, _ = jax.lax.scan(
+            outer, c_init - c_init[0][None],
+            jnp.arange(num_iters, dtype=c_init.dtype),
+        )
+        return c
+
+    # ---- direction-only regime (projection LS + stretch-gauge penalty) ----
     rho = 1.0                                            # gauge penalty weight
-    target = jnp.sum(w0)                                 # sum of stretches
+    target = sum_w0                                      # sum of stretches
 
     def gvec(w):
         # gradient of the linear gauge functional g(c) = sum_e w_e u_e . d_e
@@ -140,51 +210,100 @@ def translation_averaging(
         out = out.at[0].add(pin * c[0])
         return out + rho * jnp.sum(g * c) * g
 
-    def solve(c, w):
-        g = gvec(w)
-        b = rho * target * g
-
-        def cg_step(state, _):
-            x, rr, p, rs = state
-            Ap = apply_A(p, w, g)
-            denom = jnp.sum(p * Ap)
-            alpha = rs / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-            x = x + alpha * p
-            rr = rr - alpha * Ap
-            rs_new = jnp.sum(rr * rr)
-            beta = rs_new / jnp.where(rs < 1e-12, 1e-12, rs)
-            return (x, rr, rr + beta * p, rs_new), None
-
-        r0 = b - apply_A(c, w, g)
-        (c_new, *_), _ = jax.lax.scan(
-            cg_step, (c, r0, r0, jnp.sum(r0 * r0)), None, length=cg_iters
-        )
-        return c_new
-
-    decay = (huber_final / huber_start) ** (1.0 / max(num_iters // 2, 1))
-
     def outer(c, t):
         delta_t = jnp.maximum(huber_start * decay ** t, huber_final)
         d = c[edge_i] - c[edge_j]
         along = jnp.sum(u_dir * d, axis=-1)
         # Normalize the typical edge length to 1 so the Huber threshold and
         # orientation test are scale-free.
-        mean_len = jnp.sum(w0 * jnp.abs(along)) / jnp.maximum(jnp.sum(w0), 1e-9)
+        mean_len = jnp.sum(w0 * jnp.abs(along)) / sum_w0
         scale = jnp.maximum(mean_len, 1e-9)
         r = jnp.linalg.norm(d - along[:, None] * u_dir, axis=-1) / scale
         w = w0 * jnp.minimum(1.0, delta_t / jnp.maximum(r, 1e-9))
         w = w * jnp.where(along > 0, 1.0, 0.05)
-        c_new = solve(c, w)
+        g = gvec(w)
+        b = rho * target * g
+        c_new = cg(lambda p: apply_A(p, w, g), c, b)
         return c_new - c_new[0][None], None
 
-    # No plain-L2 warm solve: IRLS weights must be derived from the (good)
-    # init — a uniform-weight first solve would let outlier directions drag
-    # the solution out of the init's basin before reweighting can react.
+    # IRLS weights must be derived from the (good) init — a uniform-weight
+    # first solve would let outlier directions drag the solution out of the
+    # init's basin before reweighting can react.
     c, _ = jax.lax.scan(
         outer, c_init - c_init[0][None],
         jnp.arange(num_iters, dtype=c_init.dtype),
     )
     return c
+
+
+@jax.jit
+def relative_translations_known_rotations(
+    R_ij: jax.Array,    # (E, 3, 3) relative rotations (e.g. from averaging)
+    p1: jax.Array,      # (E, N, 2) pixels in image i
+    p2: jax.Array,      # (E, N, 2) pixels in image j
+    K1: jax.Array,      # (E, 3, 3)
+    K2: jax.Array,      # (E, 3, 3)
+    mask: jax.Array,    # (E, N) bool inlier masks
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-edge translation directions given (trusted) relative rotations.
+
+    The minimal-sample essential decomposition yields noisy ``t`` on
+    small-baseline pairs; with ``R_ij`` fixed each correspondence gives the
+    LINEAR constraint ``t . (c x r2) = 0`` with ``c = R_ij r1`` (cross-multiply
+    ``z2 r2 = z1 c + t`` by ``c x r2``), so the direction is the smallest
+    eigenvector of the 3x3 scatter of unit constraint normals over ALL inliers
+    — one batched eigh for the whole edge list. Component-wise (..., N) layout
+    throughout (the TPU lane rule, docs/PERFORMANCE.md).
+
+    Returns ``(t (E, 3) unit, conf (E,) in [0, 1])``: ``t`` is
+    cheirality-signed (majority positive depths wins) and ``conf`` is the
+    relative eigengap ``(l1 - l0) / l1`` — near 0 when the direction is
+    ill-constrained (degenerate or pure-rotation pairs), usable as an
+    averaging weight multiplier.
+    """
+    from sfmfromscratch_tpu.geometry.triangulation import two_view_depths
+
+    K1i = jnp.linalg.inv(K1)                      # (E, 3, 3)
+    K2i = jnp.linalg.inv(K2)
+    u1, v1 = p1[..., 0], p1[..., 1]               # (E, N)
+    u2, v2 = p2[..., 0], p2[..., 1]
+
+    def backproject(Ki, u, v):
+        return (
+            Ki[:, 0, 0, None] * u + Ki[:, 0, 1, None] * v + Ki[:, 0, 2, None],
+            Ki[:, 1, 0, None] * u + Ki[:, 1, 1, None] * v + Ki[:, 1, 2, None],
+            Ki[:, 2, 0, None] * u + Ki[:, 2, 1, None] * v + Ki[:, 2, 2, None],
+        )
+
+    r1x, r1y, r1z = backproject(K1i, u1, v1)
+    r2x, r2y, r2z = backproject(K2i, u2, v2)
+    cx = R_ij[:, 0, 0, None] * r1x + R_ij[:, 0, 1, None] * r1y + R_ij[:, 0, 2, None] * r1z
+    cy = R_ij[:, 1, 0, None] * r1x + R_ij[:, 1, 1, None] * r1y + R_ij[:, 1, 2, None] * r1z
+    cz = R_ij[:, 2, 0, None] * r1x + R_ij[:, 2, 1, None] * r1y + R_ij[:, 2, 2, None] * r1z
+    wx = cy * r2z - cz * r2y                      # w = c x r2
+    wy = cz * r2x - cx * r2z
+    wz = cx * r2y - cy * r2x
+    norm = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+    s = mask / jnp.maximum(norm, 1e-12)           # unit normals, masked
+    wx, wy, wz = wx * s, wy * s, wz * s
+
+    def dot(a, b):
+        return jnp.sum(a * b, axis=-1)
+
+    M = jnp.stack([
+        jnp.stack([dot(wx, wx), dot(wx, wy), dot(wx, wz)], -1),
+        jnp.stack([dot(wy, wx), dot(wy, wy), dot(wy, wz)], -1),
+        jnp.stack([dot(wz, wx), dot(wz, wy), dot(wz, wz)], -1),
+    ], -2)                                        # (E, 3, 3)
+    evals, evecs = jnp.linalg.eigh(M)             # ascending
+    t = evecs[..., :, 0]                          # (E, 3)
+    conf = (evals[..., 1] - evals[..., 0]) / jnp.maximum(evals[..., 1], 1e-9)
+
+    z1, z2 = jax.vmap(two_view_depths)(R_ij, t, p1, p2, K1, K2)
+    pos = jnp.sum(mask & (z1 > 0) & (z2 > 0), axis=-1)
+    neg = jnp.sum(mask & (z1 < 0) & (z2 < 0), axis=-1)
+    t = t * jnp.where(pos >= neg, 1.0, -1.0)[:, None]
+    return t, conf
 
 
 def chain_initial_rotations(

@@ -198,20 +198,90 @@ def ransac_essential_pose(
     d = epipolar_distances(F, p1, p2)                        # (B, N)
     inl = (d < threshold) & mask[None, :]
     inliers = jnp.sum(inl, axis=-1)                          # (B,)
+    # MSAC score: truncated squared distances. Inlier *count* plateaus when
+    # several basins fit ~the same support (small-baseline pairs); the
+    # residual-weighted score still separates them.
+    thr2 = jnp.asarray(threshold * threshold, d.dtype)
+    msac = jnp.sum(jnp.minimum(d * d, thr2) * mask[None, :], axis=-1)
 
     strict = best_che >= (min_cheirality_frac * n_valid_s).astype(best_che.dtype)
-    strict_score = jnp.where(strict, inliers, -1)
-    any_strict = jnp.max(strict_score) >= 0
+    strict_score = jnp.where(strict, -msac, -jnp.inf)
+    any_strict = jnp.max(strict_score) > -jnp.inf
     best_strict = jnp.argmax(strict_score)
     best_loose = jnp.argmax(best_che * (n + 1) + inliers)
     best = jnp.where(any_strict, best_strict, best_loose)
 
-    cand = best_cand[best]
-    return RansacPoseResult(
-        R=Rc[best, cand],
-        t=tc[best, cand],
-        F=F[best],
-        inliers=inl[best],
-        num_inliers=inliers[best],
-        cheirality_ok=strict[best],
+    # Locally-optimized refit (LO-RANSAC): re-solve F from the winner's FULL
+    # inlier set (masked normalized n-point), keep it if the MSAC score
+    # improves; two rounds. The minimal-sample winner fixes the basin, the
+    # refit reaches the basin's bottom — decisive on small-baseline pairs
+    # where 8-point noise is comparable to the parallax.
+    def lo_round(state, _):
+        F_b, inl_b, msac_b = state
+        F_r = eight_point_fundamental(p1, p2, mask=inl_b)
+        d_r = epipolar_distances(F_r, p1, p2)
+        msac_r = jnp.sum(jnp.minimum(d_r * d_r, thr2) * mask)
+        better = msac_r < msac_b
+        F_b = jnp.where(better, F_r, F_b)
+        inl_b = jnp.where(better, (d_r < threshold) & mask, inl_b)
+        msac_b = jnp.where(better, msac_r, msac_b)
+        return (F_b, inl_b, msac_b), None
+
+    (F_best, inl_best, _), _ = jax.lax.scan(
+        lo_round, (F[best], inl[best], msac[best]), None, length=2
     )
+
+    # Decompose the refit F's essential matrix and re-select the cheirality
+    # candidate (the LO refit can change the pose, not just the inlier set).
+    E_f = essential_from_fundamental(F_best[None], K1, K2)
+    R1f, R2f, tf = decompose_essential(E_f)
+    Rcf = jnp.stack([R1f, R1f, R2f, R2f], axis=1)[0]         # (4, 3, 3)
+    tcf = jnp.stack([tf, -tf, tf, -tf], axis=1)[0]           # (4, 3)
+    z1f, z2f = two_view_depths(Rcf, tcf, p1_s, p2_s, K1, K2) # (4, ns)
+    front_f = (z1f > eps) & (z2f > eps) & mask_s[None, :]
+    che_f = jnp.sum(front_f, axis=-1)                        # (4,)
+    cand = jnp.argmax(che_f)
+    strict_f = jnp.max(che_f) >= (
+        min_cheirality_frac * n_valid_s
+    ).astype(che_f.dtype)
+
+    return RansacPoseResult(
+        R=Rcf[cand],
+        t=tcf[cand],
+        F=F_best,
+        inliers=inl_best,
+        num_inliers=jnp.sum(inl_best),
+        cheirality_ok=strict_f,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_hypotheses", "sample_size", "cheirality_subset"),
+)
+def ransac_essential_pose_batch(
+    keys: jax.Array,         # (P,) PRNG keys
+    p1: jax.Array,           # (P, N, 2)
+    p2: jax.Array,           # (P, N, 2)
+    K1: jax.Array,           # (P, 3, 3)
+    K2: jax.Array,           # (P, 3, 3)
+    mask: jax.Array,         # (P, N) bool
+    num_hypotheses: int = 1024,
+    threshold: float = 1.0,
+    sample_size: int = 8,
+    min_cheirality_frac: float = 0.75,
+    cheirality_subset: int = 512,
+) -> RansacPoseResult:
+    """``ransac_essential_pose`` vmapped over a leading pair axis — the global
+    view-graph stage: relative poses of a whole batch of image pairs as ONE
+    device program (each pair carries its own intrinsics). The per-pair masks
+    are expected to be pre-filtered epipolar inliers (pipeline STAGE A), so a
+    modest hypothesis count suffices."""
+    return jax.vmap(
+        lambda k, a, b, ka, kb, m: ransac_essential_pose(
+            k, a, b, ka, kb, m,
+            num_hypotheses=num_hypotheses, threshold=threshold,
+            sample_size=sample_size, min_cheirality_frac=min_cheirality_frac,
+            cheirality_subset=cheirality_subset,
+        )
+    )(keys, p1, p2, K1, K2, mask)

@@ -1,0 +1,525 @@
+"""Global Structure-from-Motion engine: motion averaging instead of a chain.
+
+The reference can only reconstruct *sequentially* — each frame's pose depends
+on the previous frame's via PnP (Runner.py:221-287) — which caps parallelism
+no matter how fast each step is. This engine is the TPU-native *global SfM*
+alternative (the 1DSfM / rotation-averaging method family) where every stage
+is embarrassingly parallel over the whole sequence:
+
+1. features + pairwise matching over a window (shared with SfmEngine: one
+   batched frontend program + one vmapped fundamental-RANSAC program),
+2. relative pose of EVERY pair as one vmapped essential-RANSAC program
+   (geometry.ransac.ransac_essential_pose_batch),
+3. robust rotation averaging + translation averaging on the view graph
+   (geometry.averaging — IRLS segment-sum sweeps, matrix-free CG),
+4. union-find track building over all match edges (native C++ with numpy
+   fallback: native.bindings.build_tracks),
+5. batched multiview triangulation of all tracks at once
+   (geometry.triangulation.triangulate_multiview),
+6. global Schur/CG bundle adjustment (shared with SfmEngine).
+
+No stage loops over frames on the host; sequence length only grows batch
+dimensions. This is the intended scaling path for the "1000+ image" regime
+(BASELINE.json config 5, SURVEY.md §2.3): pairs shard over the data mesh axis
+and the averaging/BA segment-sums shard over observations.
+
+Camera indexing: camera c observes through physical image c+1; camera 0 is
+the gauge anchor (R=I, c=0), unlike the incremental engine whose BA camera 0
+is physical image 2 (the identity base camera never enters its BA).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfmfromscratch_tpu.geometry.averaging import (
+    chain_initial_centers,
+    chain_initial_rotations,
+    relative_translations_known_rotations,
+    rotation_averaging,
+    translation_averaging,
+)
+from sfmfromscratch_tpu.geometry.ransac import ransac_essential_pose_batch
+from sfmfromscratch_tpu.geometry.triangulation import (
+    triangulate_multiview,
+    two_view_depths,
+)
+from sfmfromscratch_tpu.native.bindings import build_tracks
+from sfmfromscratch_tpu.ops.lie import so3_log
+from sfmfromscratch_tpu.pipeline.incremental import SfmEngine
+from sfmfromscratch_tpu.types import Features
+
+
+def _bucket(n: int, q: int = 1024) -> int:
+    return max(q, ((n + q - 1) // q) * q)
+
+
+_triangulate_multiview_jit = jax.jit(
+    triangulate_multiview, static_argnames=("num_points", "gn_iters")
+)
+
+
+class GlobalSfmEngine(SfmEngine):
+    """Global SfM over an image sequence; drop-in result contract of
+    :class:`SfmEngine` (map / global_poses / global_K / errors / save_data)."""
+
+    _filter_all_pairs = True  # pair (1,2) gets the same robust filter as the rest
+
+    def __init__(
+        self,
+        img_path: str,
+        max_img: int,
+        pair_window: int = 3,
+        rel_num_hypotheses: int = 1024,
+        min_edge_inliers: int = 15,
+        obs_gate_px: float = 8.0,
+        rot_avg_iters: int = 64,
+        trans_avg_iters: int = 12,
+        **kwargs,
+    ):
+        self.rel_num_hypotheses = rel_num_hypotheses
+        self.min_edge_inliers = min_edge_inliers
+        self.obs_gate_px = obs_gate_px
+        self.rot_avg_iters = rot_avg_iters
+        self.trans_avg_iters = trans_avg_iters
+        # view-graph state filled by the stages
+        self._edges: List[tuple] = []          # (i, j) 1-based image ids, i < j
+        self._edge_R: Optional[np.ndarray] = None
+        self._edge_t: Optional[np.ndarray] = None
+        self._edge_w: Optional[np.ndarray] = None
+        self._edge_inl: Dict[tuple, np.ndarray] = {}
+        self._kp_xy: Dict[int, np.ndarray] = {}
+        self.R_cams: Optional[np.ndarray] = None   # (C, 3, 3)
+        self.c_cams: Optional[np.ndarray] = None   # (C, 3) centers
+        super().__init__(
+            img_path, max_img, pair_window=max(2, pair_window), **kwargs
+        )
+
+    # ------------------------------------------------------------------ stages
+
+    def _relative_poses(self) -> None:
+        """Relative pose of every matched pair — chunks of pairs vmapped into
+        one device program each (fixed chunk => one compiled program for any
+        sequence length; modest hypothesis count because the pair masks are
+        already epipolar-RANSAC inliers from STAGE A)."""
+        t0 = time.time()
+        pairs = sorted(
+            [k for k in self.pair_geometry if k[0] < k[1]],
+            key=lambda k: (k[1] - k[0], k[0]),   # consecutive edges first
+        )
+        CHUNK = 8
+        R_list, t_list, ninl_list, che_list, inl_masks = [], [], [], [], []
+        for c0 in range(0, len(pairs), CHUNK):
+            chunk = pairs[c0 : c0 + CHUNK]
+            pad_keys = chunk + [chunk[-1]] * (CHUNK - len(chunk))
+            keys = jax.random.split(self._next_key(), CHUNK)
+            pgs = [self.pair_geometry[k] for k in pad_keys]
+            res = ransac_essential_pose_batch(
+                keys,
+                jnp.stack([pg.p1 for pg in pgs]),
+                jnp.stack([pg.p2 for pg in pgs]),
+                jnp.stack([pg.K1 for pg in pgs]),
+                jnp.stack([pg.K2 for pg in pgs]),
+                jnp.stack([pg.mask for pg in pgs]),
+                num_hypotheses=self.rel_num_hypotheses,
+                threshold=self.config.ransac.epipolar_threshold,
+                min_cheirality_frac=0.75,
+            )
+            # ONE host fetch per chunk.
+            R_np, t_np, inl_np, ninl_np, che_np = jax.device_get(
+                (res.R, res.t, res.inliers, res.num_inliers, res.cheirality_ok)
+            )
+            for ci, k in enumerate(chunk):
+                R_list.append(R_np[ci])
+                t_list.append(t_np[ci])
+                ninl_list.append(int(ninl_np[ci]))
+                che_list.append(bool(che_np[ci]))
+                inl_masks.append(inl_np[ci])
+
+        self._edges = pairs
+        self._edge_R = np.stack(R_list) if pairs else np.zeros((0, 3, 3))
+        self._edge_t = np.stack(t_list) if pairs else np.zeros((0, 3))
+        ninl = np.asarray(ninl_list, np.float64)
+        che = np.asarray(che_list, bool)
+        good = (ninl >= self.min_edge_inliers) & che
+        if not good.any() and len(pairs):
+            # keep the strongest edges even if cheirality was noisy
+            good = ninl >= max(self.min_edge_inliers, 1)
+        self._edge_w = np.where(good, ninl, 0.0)
+        for e, k in enumerate(pairs):
+            self._edge_inl[k] = inl_masks[e] if good[e] else np.zeros_like(inl_masks[e])
+        self.stage_times["relative_poses"] = time.time() - t0
+
+    def _motion_averaging(self) -> None:
+        """Absolute rotations + camera centers from the view graph (both IRLS
+        solvers run fully on device; chain inits are O(E) host walks)."""
+        t0 = time.time()
+        C = self.max_img
+        ei = np.asarray([i - 1 for i, _ in self._edges], np.int32)
+        ej = np.asarray([j - 1 for _, j in self._edges], np.int32)
+        w = np.asarray(self._edge_w, np.float32)
+        nz = w > 0
+
+        # Connectivity check over usable edges (warn + identity-fill otherwise).
+        parent = np.arange(C)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(ei[nz], ej[nz]):
+            parent[find(a)] = find(b)
+        roots = {find(c) for c in range(C)}
+        if len(roots) > 1:
+            self.warnings.append(
+                f"view graph has {len(roots)} components; "
+                "unreached cameras keep identity poses"
+            )
+
+        ei_j = jnp.asarray(ei)
+        ej_j = jnp.asarray(ej)
+        w_j = jnp.asarray(w / max(w.max(), 1e-9))
+        R_rel = jnp.asarray(self._edge_R, jnp.float32)
+
+        R0 = chain_initial_rotations(
+            jnp.asarray(self._edge_R[nz], jnp.float32),
+            jnp.asarray(ei[nz]), jnp.asarray(ej[nz]), C,
+        )
+
+        # Average -> reject -> re-average. An edge whose relative rotation
+        # disagrees with the averaged absolute rotations carries a wrong
+        # two-view geometry — and therefore a CONTAMINATED inlier set (RANSAC
+        # support of a wrong model). Such edges are removed from the second
+        # averaging round, from translation averaging, AND from track
+        # building. Two rounds: gross outliers distort the first average
+        # enough to hide moderate ones.
+        R = R0
+        for _round in range(3):
+            R = rotation_averaging(
+                R_rel, ei_j, ej_j, R, edge_w=w_j,
+                num_cameras=C, num_iters=self.rot_avg_iters,
+            )
+            R_np = np.asarray(jax.device_get(R), np.float64)
+            r_edge = np.linalg.norm(
+                np.einsum("eij,ejk->eik", self._edge_R, R_np[ei]) - R_np[ej],
+                axis=(1, 2),
+            )   # chordal residual, ||dR||_F = 2*sqrt(2)*sin(theta/2)
+            if not nz.any():
+                break
+            med = np.median(r_edge[nz])
+            gate = max(3.0 * med, 0.15)          # 0.15 ~ 6 degrees
+            bad = nz & (r_edge > gate)
+            if not bad.any():
+                break
+            self.warnings.append(
+                f"dropped {int(bad.sum())} rotation-inconsistent edges: "
+                + ", ".join(str(self._edges[e]) for e in np.nonzero(bad)[0])
+            )
+            w = np.where(bad, 0.0, w)
+            nz = w > 0
+            w_j = jnp.asarray((w / max(w.max(), 1e-9)).astype(np.float32))
+            for e in np.nonzero(bad)[0]:
+                k = self._edges[e]
+                self._edge_inl[k] = np.zeros_like(self._edge_inl[k])
+            self._edge_w = np.where(bad, 0.0, self._edge_w)
+
+        # Re-estimate every edge's translation direction with the averaged
+        # rotations held fixed — one batched eigh over all inlier constraint
+        # normals (the minimal-sample E decomposition is noisy on small
+        # baselines; this is the standard global-SfM refinement). Low-eigengap
+        # (direction-degenerate) edges get their weight damped.
+        E = len(self._edges)
+        if E:
+            R_ij_avg = R[ej_j] @ jnp.swapaxes(R[ei_j], -1, -2)
+            pgs = [self.pair_geometry[k] for k in self._edges]
+            t_new, conf = relative_translations_known_rotations(
+                R_ij_avg,
+                jnp.stack([pg.p1 for pg in pgs]),
+                jnp.stack([pg.p2 for pg in pgs]),
+                jnp.stack([pg.K1 for pg in pgs]),
+                jnp.stack([pg.K2 for pg in pgs]),
+                jnp.stack([jnp.asarray(self._edge_inl[k]) for k in self._edges]),
+            )
+            self._edge_t, conf_np = jax.device_get((t_new, conf))
+            w = w * np.clip(np.asarray(conf_np, np.float64), 0.0, 1.0)
+            nz = w > 0
+            w_j = jnp.asarray((w / max(w.max(), 1e-9)).astype(np.float32))
+
+        # World direction of (c_i - c_j) from the averaged R_j: t_ij ~ R_j (c_i - c_j).
+        Rj = R[ej_j]                                          # (E, 3, 3)
+        u = jnp.einsum("eji,ej->ei", Rj, jnp.asarray(self._edge_t, jnp.float32))
+        u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-9)
+        u_np = np.asarray(jax.device_get(u))
+
+        # Per-edge BASELINE SCALES from structure: directions alone leave a
+        # near-chain graph degenerate (a subchain can collapse while one
+        # stretched edge absorbs the gauge — parallel rigidity fails), but
+        # two-view depths along shared tracks observe the missing length
+        # ratios directly: lam_e1 * z_m^(e1) = lam_e2 * z_m^(e2) for a point
+        # seen by both edges through camera m.
+        if E:
+            z1, z2 = jax.device_get(
+                jax.vmap(two_view_depths)(
+                    R_ij_avg, jnp.asarray(self._edge_t, jnp.float32),
+                    jnp.stack([pg.p1 for pg in pgs]),
+                    jnp.stack([pg.p2 for pg in pgs]),
+                    jnp.stack([pg.K1 for pg in pgs]),
+                    jnp.stack([pg.K2 for pg in pgs]),
+                )
+            )
+            lam = self._edge_scales(np.asarray(z1), np.asarray(z2), nz)
+        else:
+            lam = np.ones(0)
+
+        su = u_np * lam[:, None]
+        c0 = chain_initial_centers(
+            jnp.asarray(su[nz], jnp.float32),
+            jnp.asarray(ei[nz]), jnp.asarray(ej[nz]), C,
+        )
+        c = translation_averaging(
+            u, ei_j, ej_j, c0, edge_w=w_j,
+            num_cameras=C, num_iters=self.trans_avg_iters,
+            edge_s=jnp.asarray(lam, jnp.float32),
+        )
+        self._dbg_u = u_np
+        self._dbg_lam = lam
+        self._dbg_c0 = np.asarray(jax.device_get(c0))
+        self._dbg_w = np.asarray(w)
+        self.R_cams, self.c_cams = jax.device_get((R, c))
+        self.stage_times["averaging"] = time.time() - t0
+
+    def _edge_scales(self, z1: np.ndarray, z2: np.ndarray, nz: np.ndarray) -> np.ndarray:
+        """Relative baseline length per edge from two-view depth ratios.
+
+        ``z1[e], z2[e]`` are unit-baseline depths of edge e's matches in its
+        two cameras. For edges e1, e2 sharing camera m, every common keypoint
+        gives ``lam_e2 / lam_e1 = z_m^(e1) / z_m^(e2)``; the median log-ratio
+        per edge pair feeds a spanning-tree propagation + Gauss-Seidel
+        smoothing over the ratio graph. Normalized to weighted mean 1."""
+        E = len(self._edges)
+        pair_idx = jax.device_get({
+            k: (self.pair_geometry[k].idx1, self.pair_geometry[k].idx2)
+            for k in self._edges
+        })
+        incident: Dict[int, list] = {}
+        for e, k in enumerate(self._edges):
+            if not nz[e]:
+                continue
+            inl = self._edge_inl[k]
+            if not inl.any():
+                continue
+            i, j = k
+            idx1, idx2 = pair_idx[k]
+            incident.setdefault(i, []).append((e, np.asarray(idx1)[inl], z1[e][inl]))
+            incident.setdefault(j, []).append((e, np.asarray(idx2)[inl], z2[e][inl]))
+
+        ratios: list = []          # (e1, e2, median log(z_e1 / z_e2), support)
+        for m, lst in incident.items():
+            for a in range(len(lst)):
+                ea, kpa, za = lst[a]
+                for b in range(a + 1, len(lst)):
+                    eb, kpb, zb = lst[b]
+                    common, ia, ib = np.intersect1d(kpa, kpb, return_indices=True)
+                    if len(common) < 5:
+                        continue
+                    r = za[ia] / np.where(np.abs(zb[ib]) < 1e-9, 1e-9, zb[ib])
+                    r = r[np.isfinite(r) & (r > 0)]
+                    if len(r) < 5:
+                        continue
+                    ratios.append((ea, eb, float(np.median(np.log(r))), len(r)))
+
+        log_lam = np.zeros(E)
+        if ratios:
+            # Spanning-tree BFS from the best-supported edge, then smooth.
+            adj: Dict[int, list] = {}
+            for ea, eb, lr, wgt in ratios:
+                adj.setdefault(ea, []).append((eb, lr, wgt))
+                adj.setdefault(eb, []).append((ea, -lr, wgt))
+            seen = set()
+            order = sorted(adj, key=lambda e: -self._edge_w[e])
+            for root in order:
+                if root in seen:
+                    continue
+                seen.add(root)
+                queue = [root]
+                while queue:
+                    cur = queue.pop()
+                    for nxt, lr, _ in adj[cur]:
+                        if nxt not in seen:
+                            # lam_e2 = lam_e1 * exp(lr) for (e1=cur, e2=nxt)
+                            log_lam[nxt] = log_lam[cur] + lr
+                            seen.add(nxt)
+                            queue.append(nxt)
+            for _sweep in range(10):   # weighted Gauss-Seidel on the ratio graph
+                acc = np.zeros(E)
+                wacc = np.zeros(E)
+                for ea, eb, lr, wgt in ratios:
+                    acc[eb] += wgt * (log_lam[ea] + lr)
+                    wacc[eb] += wgt
+                    acc[ea] += wgt * (log_lam[eb] - lr)
+                    wacc[ea] += wgt
+                upd = wacc > 0
+                log_lam[upd] = acc[upd] / wacc[upd]
+
+        lam = np.exp(np.clip(log_lam, -6.0, 6.0))
+        wsum = self._edge_w[nz].sum()
+        if wsum > 0:
+            lam /= max((lam[nz] * self._edge_w[nz]).sum() / wsum, 1e-9)
+        return lam
+
+    def _build_tracks(self, feats: Dict[int, Features]) -> None:
+        """Union-find tracks over ALL pairs' inlier match edges (native C++
+        path), then flat observation lists from the per-image keypoint table."""
+        t0 = time.time()
+        C = self.max_img
+        cap = feats[1].keypoints.capacity
+        # ONE bulk fetch of every image's (refined) keypoint coordinates.
+        kp_xy = jax.device_get({
+            i: (feats[i].keypoints.xf, feats[i].keypoints.yf)
+            for i in range(1, C + 1)
+        })
+        self._kp_xy = {
+            i: np.stack([np.asarray(x), np.asarray(y)], axis=1).astype(np.float64)
+            for i, (x, y) in kp_xy.items()
+        }
+
+        # Flattened (image, keypoint) node ids, image-major.
+        ea, eb = [], []
+        pair_idx = jax.device_get({
+            k: (self.pair_geometry[k].idx1, self.pair_geometry[k].idx2)
+            for k in self._edges
+        })
+        for k in self._edges:
+            inl = self._edge_inl[k]
+            if not inl.any():
+                continue
+            i, j = k
+            idx1, idx2 = pair_idx[k]
+            idx1 = np.asarray(idx1)[inl]
+            idx2 = np.asarray(idx2)[inl]
+            ea.append((i - 1) * cap + idx1)
+            eb.append((j - 1) * cap + idx2)
+        ea = np.concatenate(ea) if ea else np.zeros(0, np.int64)
+        eb = np.concatenate(eb) if eb else np.zeros(0, np.int64)
+
+        node_image = np.repeat(np.arange(C, dtype=np.int64), cap)
+        track_per_node, num_tracks, valid = build_tracks(
+            ea, eb, C * cap, node_image=node_image
+        )
+
+        # Observations: every node touched by an edge observes its track.
+        touched = np.zeros(C * cap, bool)
+        touched[ea] = True
+        touched[eb] = True
+        nodes = np.nonzero(touched)[0]
+        tids = track_per_node[nodes]
+        keep = valid[tids] if valid is not None else np.ones(len(nodes), bool)
+        # Tracks need >= 2 observations.
+        counts = np.bincount(tids[keep], minlength=num_tracks)
+        keep &= counts[tids] >= 2
+        nodes, tids = nodes[keep], tids[keep]
+
+        # Compact track ids.
+        uniq, tids_c = np.unique(tids, return_inverse=True)
+        self._num_points = len(uniq)
+        self._obs_cam = (nodes // cap).astype(np.int32)
+        self._obs_kp = (nodes % cap).astype(np.int32)
+        self._obs_pt = tids_c.astype(np.int32)
+        xy = np.empty((len(nodes), 2), np.float64)
+        for i in range(1, C + 1):
+            m = self._obs_cam == (i - 1)
+            xy[m] = self._kp_xy[i][self._obs_kp[m]]
+        self._obs_xy = xy
+        self.stage_times["tracks"] = time.time() - t0
+
+    def _triangulate(self) -> None:
+        """All tracks triangulated as one batched multiview DLT + GN program,
+        then observation gating (cheirality + reprojection error) on host."""
+        t0 = time.time()
+        C = self.max_img
+        K = np.stack([self._intrinsics(i) for i in range(1, C + 1)])
+        R = np.asarray(self.R_cams, np.float64)
+        tvec = -np.einsum("cij,cj->ci", R, np.asarray(self.c_cams, np.float64))
+        P = K @ np.concatenate([R, tvec[:, :, None]], axis=2)   # (C, 3, 4)
+        self._P_all = P
+        self._K_all = K
+        self._t_cams = tvec
+
+        O = len(self._obs_pt)
+        T = self._num_points
+        if T == 0:
+            self._X = np.zeros((0, 3))
+            self.stage_times["triangulate"] = time.time() - t0
+            return
+        # Bucketed padding => repeated solves reuse one compiled program.
+        Ob, Tb = _bucket(O), _bucket(T)
+        obs_cam = np.zeros(Ob, np.int32); obs_cam[:O] = self._obs_cam
+        obs_pt = np.full(Ob, Tb - 1, np.int32); obs_pt[:O] = self._obs_pt
+        obs_xy = np.zeros((Ob, 2), np.float32); obs_xy[:O] = self._obs_xy
+        w = np.zeros(Ob, np.float32); w[:O] = 1.0
+
+        X, _nobs = _triangulate_multiview_jit(
+            jnp.asarray(P, jnp.float32), jnp.asarray(obs_cam),
+            jnp.asarray(obs_pt), jnp.asarray(obs_xy),
+            num_points=Tb, obs_w=jnp.asarray(w), gn_iters=8,
+        )
+        X = np.asarray(jax.device_get(X), np.float64)[:T]
+
+        # Host gating: positive depth + reprojection error within the gate.
+        Xo = X[self._obs_pt]
+        Ph = P[self._obs_cam]
+        h = np.einsum("oij,oj->oi", Ph[:, :, :3], Xo) + Ph[:, :, 3]
+        z = h[:, 2]
+        uv = h[:, :2] / np.where(np.abs(z[:, None]) < 1e-12, 1e-12, z[:, None])
+        err = np.linalg.norm(uv - self._obs_xy, axis=1)
+        ok = (z > 1e-6) & (err < self.obs_gate_px)
+        cnt = np.bincount(self._obs_pt[ok], minlength=T)
+        ok &= cnt[self._obs_pt] >= 2
+
+        uniq, pt_c = np.unique(self._obs_pt[ok], return_inverse=True)
+        self._obs_cam = self._obs_cam[ok]
+        self._obs_pt = pt_c.astype(np.int32)
+        self._obs_xy = self._obs_xy[ok]
+        self._X = X[uniq]
+        self._num_points = len(uniq)
+        self.stage_times["triangulate"] = time.time() - t0
+
+    def _populate_map(self) -> None:
+        """Fill the shared MapStore / pose lists so BA, persistence and the
+        compat layer see the same contract as the incremental engine."""
+        C = self.max_img
+        self.map.append_points_raw(self._X)
+        for c in range(C):
+            m = self._obs_cam == c
+            if m.any():
+                self.map.add_observations(
+                    self._obs_pt[m].astype(np.int64), self._obs_xy[m], c
+                )
+        R = np.asarray(self.R_cams, np.float64)
+        for c in range(C):
+            rvec = np.asarray(so3_log(jnp.asarray(R[c], jnp.float32)), np.float64)
+            self.global_poses.append((rvec, self._t_cams[c]))
+            self.global_K.append(self._K_all[c])
+
+    # ------------------------------------------------------------------ driver
+
+    def run(self) -> "GlobalSfmEngine":
+        feats = self._extract_all_features()
+        self._match_pairs(feats)
+        self._relative_poses()
+        self._motion_averaging()
+        self._build_tracks(feats)
+        self._triangulate()
+        self._populate_map()
+        # Camera 0 frozen: the averaging gauge (R=I, c=0) anchors BA.
+        self._global_ba(freeze_before=1)
+        if self.model_name is not None:
+            self.save_data()
+        return self

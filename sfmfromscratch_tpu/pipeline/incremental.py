@@ -358,7 +358,12 @@ class SfmEngine:
             p2 = jnp.stack([f2.keypoints.xf[idx2], f2.keypoints.yf[idx2]], axis=-1)
             staged[(i1, i2)] = (p1, p2, idx1, idx2, matches.mask)
 
-        filt = [key for key in staged if key != (1, 2)]
+        # The incremental bootstrap pair (1,2) gets its robust treatment inside
+        # ransac_essential_pose; global engines filter every pair uniformly.
+        filt = [
+            key for key in staged
+            if key != (1, 2) or getattr(self, "_filter_all_pairs", False)
+        ]
         filt_inliers: Dict[Tuple[int, int], jax.Array] = {}
         if filt:
             # Fixed-size chunks over the pair axis: one compiled program for

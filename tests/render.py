@@ -14,6 +14,7 @@ def render_sequence(
     f: float = 400.0,
     step_t=(-0.35, 0.03, 0.04),
     step_r=(0.015, -0.04, 0.008),
+    orbit_step_deg=None,
 ):
     """Each world point carries a unique random texture patch; every view pastes
     the patch at the point's projection. Returns (images, K, poses, X)."""
@@ -37,10 +38,27 @@ def render_sequence(
         )
 
     poses = []
-    for v in range(num_views):
-        rv = np.array(step_r) * v
-        t = np.array(step_t) * v
-        poses.append((Rotation.from_rotvec(rv).as_matrix(), t))
+    if orbit_step_deg is not None:
+        # Orbit rig: cameras on a circle around the cloud center, all looking
+        # at it — every pair overlaps with parallax == angular spacing (the
+        # TempleRing-style workload global SfM assumes).
+        center = np.array([0.0, 0.0, 7.0])
+        radius = 7.0
+        for v in range(num_views):
+            a = np.radians(orbit_step_deg) * v
+            c = center + radius * np.array([np.sin(a), 0.0, -np.cos(a)])
+            z = center - c
+            z = z / np.linalg.norm(z)
+            x = np.cross(np.array([0.0, 1.0, 0.0]), z)
+            x = x / np.linalg.norm(x)
+            y = np.cross(z, x)
+            R = np.stack([x, y, z])          # world-to-camera rows
+            poses.append((R, -R @ c))
+    else:
+        for v in range(num_views):
+            rv = np.array(step_r) * v
+            t = np.array(step_t) * v
+            poses.append((Rotation.from_rotvec(rv).as_matrix(), t))
 
     images = []
     half = patch // 2
