@@ -15,6 +15,26 @@ with Schur-complement reduction — designed TPU-first:
 Public API mirrors the reference's component inventory (see SURVEY.md §2).
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: frontend/RANSAC/BA programs take minutes
+# to compile over the tunneled TPU; caching them across processes turns every
+# run after the first into a warm start. Opt out with SFM_TPU_COMPILE_CACHE=0.
+if _os.environ.get("SFM_TPU_COMPILE_CACHE", "1") != "0":
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/sfmfromscratch_tpu/xla"),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from sfmfromscratch_tpu.geometry.camera import (
     SensorType,
     intrinsics_from_exif,

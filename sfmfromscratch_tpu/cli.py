@@ -52,6 +52,13 @@ def main(argv=None) -> int:
     rec.add_argument("--local-ba-every", type=int, default=None,
                      help="run windowed BA every N chain frames")
     rec.add_argument("--on-pose-failure", choices=["raise", "recover"], default="raise")
+    rec.add_argument("--ransac-iterations", type=int, default=None,
+                     help="override the derived RANSAC hypothesis count")
+    rec.add_argument("--pipeline", choices=["incremental", "global"],
+                     default="incremental",
+                     help="incremental PnP chain, or global motion averaging "
+                          "(all-pairs relative poses + rotation/translation "
+                          "averaging; best for wide-baseline/unordered sets)")
     _add_extractor_flags(rec)
 
     show = sub.add_parser("show", help="load a saved model and open the 3-D viewer")
@@ -106,7 +113,7 @@ def main(argv=None) -> int:
         ),
         matcher=MatcherConfig(ratio_threshold=args.match_threshold,
                               max_matches=args.num_interest_points),
-        ransac=RansacConfig(),
+        ransac=RansacConfig(max_iterations=args.ransac_iterations),
         scale_factor=args.scale_factor,
         dist_threshold=args.dist_threshold,
     )
@@ -124,13 +131,23 @@ def main(argv=None) -> int:
         )
         cfg = cfg  # K already at working scale; engine won't rescale single_K
 
-    eng = SfmEngine(
-        args.img_path, args.max_img, config=cfg, single_K=single_K,
-        camera_sensor=sensor, model_name=args.model_name,
-        output_dir=args.output_dir, assoc_mode=args.assoc_mode,
-        pair_window=args.pair_window, local_ba_every=args.local_ba_every,
-        on_pose_failure=args.on_pose_failure,
-    )
+    if args.pipeline == "global":
+        from sfmfromscratch_tpu.pipeline.global_sfm import GlobalSfmEngine
+
+        eng = GlobalSfmEngine(
+            args.img_path, args.max_img, config=cfg, single_K=single_K,
+            camera_sensor=sensor, model_name=args.model_name,
+            output_dir=args.output_dir,
+            pair_window=max(2, args.pair_window),
+        )
+    else:
+        eng = SfmEngine(
+            args.img_path, args.max_img, config=cfg, single_K=single_K,
+            camera_sensor=sensor, model_name=args.model_name,
+            output_dir=args.output_dir, assoc_mode=args.assoc_mode,
+            pair_window=args.pair_window, local_ba_every=args.local_ba_every,
+            on_pose_failure=args.on_pose_failure,
+        )
     b, a = eng.errors_before_after_ba
     print(f"tracks={eng.map.num_tracks} observations={eng.map.num_observations}")
     print(f"mean reprojection error: {b:.4f} -> {a:.4f} px")

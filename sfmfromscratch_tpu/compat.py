@@ -471,3 +471,39 @@ class SFMRunner:
         from sfmfromscratch_tpu.pipeline.incremental import SfmEngine
 
         return SfmEngine.load(model_name, output_dir=output_dir, show=show)
+
+
+# =============================================================== Matches, Util
+class Matches:
+    """Per-pair match container (reference Runner.py:118-125)."""
+
+    def __init__(self, matches, confidences, p1, p2, K1=None, K2=None):
+        self.matches = np.asarray(matches)
+        self.confidences = np.asarray(confidences)
+        self.p1 = np.asarray(p1)
+        self.p2 = np.asarray(p2)
+        self.K1 = K1
+        self.K2 = K2
+
+
+def print_reprojection_error(points_3d, pts1, pts2, P1, P2) -> float:
+    """Mean two-view reprojection error, printed (reference Util.py:65-82);
+    also returns the value."""
+    from sfmfromscratch_tpu.geometry.camera import two_view_reprojection_error
+
+    err = float(two_view_reprojection_error(
+        _f32(np.asarray(points_3d)), _f32(np.asarray(pts1)),
+        _f32(np.asarray(pts2)), _f32(np.asarray(P1)), _f32(np.asarray(P2)),
+    ))
+    print(f"Mean reprojection error: {err}")
+    return err
+
+
+def fast_resize(input_folder, output_folder, ratio=0.3, exif=True):
+    """Batch dataset resize with EXIF transfer (reference Util.py:7-63)."""
+    from sfmfromscratch_tpu.io.images import fast_resize as _fr
+
+    return _fr(input_folder, output_folder, ratio=ratio, exif=exif)
+
+
+__all__ += ["Matches", "print_reprojection_error", "fast_resize"]

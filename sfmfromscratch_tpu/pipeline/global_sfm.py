@@ -113,19 +113,33 @@ class GlobalSfmEngine(SfmEngine):
             key=lambda k: (k[1] - k[0], k[0]),   # consecutive edges first
         )
         CHUNK = 8
+        if self.mesh is not None and "data" in self.mesh.shape:
+            # DP over the pair axis: each device owns CHUNK/data_n pairs.
+            CHUNK = max(CHUNK, self.mesh.shape["data"])
         R_list, t_list, ninl_list, che_list, inl_masks = [], [], [], [], []
         for c0 in range(0, len(pairs), CHUNK):
             chunk = pairs[c0 : c0 + CHUNK]
             pad_keys = chunk + [chunk[-1]] * (CHUNK - len(chunk))
             keys = jax.random.split(self._next_key(), CHUNK)
             pgs = [self.pair_geometry[k] for k in pad_keys]
-            res = ransac_essential_pose_batch(
-                keys,
+            batch = [
                 jnp.stack([pg.p1 for pg in pgs]),
                 jnp.stack([pg.p2 for pg in pgs]),
                 jnp.stack([pg.K1 for pg in pgs]),
                 jnp.stack([pg.K2 for pg in pgs]),
                 jnp.stack([pg.mask for pg in pgs]),
+            ]
+            if self.mesh is not None and "data" in self.mesh.shape:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                spec = lambda a: P(*(("data",) + (None,) * (a.ndim - 1)))
+                batch = [
+                    jax.device_put(a, NamedSharding(self.mesh, spec(a)))
+                    for a in batch
+                ]
+                keys = jax.device_put(keys, NamedSharding(self.mesh, P("data")))
+            res = ransac_essential_pose_batch(
+                keys, *batch,
                 num_hypotheses=self.rel_num_hypotheses,
                 threshold=self.config.ransac.epipolar_threshold,
                 min_cheirality_frac=0.75,

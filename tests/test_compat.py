@@ -177,3 +177,20 @@ def test_sfmrunner_compat_end_to_end(tmp_path):
     assert (tmp_path / "out" / "compat_model.npz").exists()
     data = SFMRunner.load("compat_model", output_dir=str(tmp_path / "out"), show=False)
     assert data["p3d"].shape[1] == 3
+
+
+def test_matches_record_and_util(scene, capsys):
+    """Matches container (Runner.py:118-125) + Util helpers (Util.py:7-82)."""
+    from sfmfromscratch_tpu.compat import Matches, print_reprojection_error
+
+    m = Matches(np.array([[0, 1]]), np.array([0.9]),
+                np.array([[1.0, 2.0]]), np.array([[3.0, 4.0]]))
+    assert m.matches.shape == (1, 2) and m.K1 is None
+
+    K = scene["K"]
+    P1 = K @ np.concatenate([scene["R1"], scene["t1"][:, None]], axis=1)
+    P2 = K @ np.concatenate([scene["R2"], scene["t2"][:, None]], axis=1)
+    err = print_reprojection_error(scene["X"], scene["p1"], scene["p2"], P1, P2)
+    out = capsys.readouterr().out
+    assert "Mean reprojection error" in out
+    assert err < 1e-2  # exact synthetic projections

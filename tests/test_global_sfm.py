@@ -117,3 +117,38 @@ def test_global_multiview_tracks(engine):
     frames, tracks, _ = engine.map.observations()
     counts = np.bincount(tracks, minlength=engine.map.num_tracks)
     assert (counts >= 3).sum() > 10
+
+
+def test_cli_global_pipeline(rendered, tmp_path, capsys):
+    """`reconstruct --pipeline global` end-to-end through the CLI."""
+    from sfmfromscratch_tpu.cli import main
+
+    rc = main([
+        "reconstruct", rendered["dir"], "--max-img", "4",
+        "--focal", str(rendered["K"][0, 0]),
+        "--scale-factor", "1.0", "--pipeline", "global",
+        "--num-interest-points", "400", "--ksize", "3", "--sigma", "3.0",
+        "--feature-width", "16", "--pyramid-level", "2",
+        "--pyramid-scale-factor", "1.2", "--ransac-iterations", "384",
+        "--model-name", "cli_g", "--output-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "tracks=" in out and "mean reprojection error" in out
+    assert (tmp_path / "cli_g.npz").exists()
+
+
+def test_global_engine_on_mesh(rendered, tmp_path):
+    """Global pipeline on the virtual 8-device mesh: DP-sharded relative
+    poses + sharded BA must match the single-device reconstruction quality."""
+    from sfmfromscratch_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    eng = GlobalSfmEngine(
+        rendered["dir"], rendered["n"], config=_small_config(),
+        single_K=rendered["K"], output_dir=str(tmp_path),
+        pair_window=3, rel_num_hypotheses=512, mesh=mesh,
+    )
+    eb, ea = eng.errors_before_after_ba
+    assert ea < 2.0 and ea <= eb + 1e-6
+    assert eng.map.num_tracks > 40
