@@ -116,7 +116,10 @@ class GlobalSfmEngine(SfmEngine):
         if self.mesh is not None and "data" in self.mesh.shape:
             # DP over the pair axis: each device owns CHUNK/data_n pairs.
             CHUNK = max(CHUNK, self.mesh.shape["data"])
-        R_list, t_list, ninl_list, che_list, inl_masks = [], [], [], [], []
+        # Dispatch ALL chunks asynchronously, then ONE host fetch: each
+        # device_get over the tunneled chip costs a full round trip, so
+        # fetching inside the loop would serialize dispatch against latency.
+        pending = []
         for c0 in range(0, len(pairs), CHUNK):
             chunk = pairs[c0 : c0 + CHUNK]
             pad_keys = chunk + [chunk[-1]] * (CHUNK - len(chunk))
@@ -144,10 +147,13 @@ class GlobalSfmEngine(SfmEngine):
                 threshold=self.config.ransac.epipolar_threshold,
                 min_cheirality_frac=0.75,
             )
-            # ONE host fetch per chunk.
-            R_np, t_np, inl_np, ninl_np, che_np = jax.device_get(
-                (res.R, res.t, res.inliers, res.num_inliers, res.cheirality_ok)
-            )
+            pending.append((chunk, res))
+        fetched = jax.device_get([
+            (res.R, res.t, res.inliers, res.num_inliers, res.cheirality_ok)
+            for _, res in pending
+        ])
+        R_list, t_list, ninl_list, che_list, inl_masks = [], [], [], [], []
+        for (chunk, _), (R_np, t_np, inl_np, ninl_np, che_np) in zip(pending, fetched):
             for ci, k in enumerate(chunk):
                 R_list.append(R_np[ci])
                 t_list.append(t_np[ci])
@@ -160,6 +166,29 @@ class GlobalSfmEngine(SfmEngine):
         self._edge_t = np.stack(t_list) if pairs else np.zeros((0, 3))
         ninl = np.asarray(ninl_list, np.float64)
         che = np.asarray(che_list, bool)
+
+        # Batched Sampson GN refinement of every edge over its full inlier
+        # set — RANSAC's minimal-sample winner carries 1-5 deg of rotation
+        # noise on small-baseline pairs; the two-view MLE is ~10x tighter and
+        # rotation averaging inherits the improvement directly.
+        if pairs:
+            from sfmfromscratch_tpu.geometry.two_view import refine_relative_pose
+
+            pgs_all = [self.pair_geometry[k] for k in pairs]
+            R_ref, t_ref, rms = refine_relative_pose(
+                jnp.asarray(self._edge_R, jnp.float32),
+                jnp.asarray(self._edge_t, jnp.float32),
+                jnp.stack([pg.p1 for pg in pgs_all]),
+                jnp.stack([pg.p2 for pg in pgs_all]),
+                jnp.stack([pg.K1 for pg in pgs_all]),
+                jnp.stack([pg.K2 for pg in pgs_all]),
+                jnp.stack(inl_masks).astype(jnp.float32),
+            )
+            self._edge_R, self._edge_t, rms_np = jax.device_get((R_ref, t_ref, rms))
+            self._edge_R = np.asarray(self._edge_R, np.float64)
+            self._edge_t = np.asarray(self._edge_t, np.float64)
+            # High residual after refinement = contaminated support.
+            che = che & (np.asarray(rms_np) < 4.0)
         good = (ninl >= self.min_edge_inliers) & che
         if not good.any() and len(pairs):
             # keep the strongest edges even if cheirality was noisy
@@ -169,11 +198,118 @@ class GlobalSfmEngine(SfmEngine):
             self._edge_inl[k] = inl_masks[e] if good[e] else np.zeros_like(inl_masks[e])
         self.stage_times["relative_poses"] = time.time() - t0
 
+    def _filter_edges_by_cycles(self, tau_deg: float = 3.0) -> None:
+        """Triangle (cycle) consistency filter on relative rotations.
+
+        ``R_ik ~= R_jk R_ij`` must hold around every triangle; a violated
+        triangle contains at least one wrong edge. Unlike residual-vs-average
+        rejection this needs NO global estimate, so a polluted first average
+        cannot misdirect it (Zach et al., loop-constraint outlier removal).
+        Greedy eviction: repeatedly drop the edge appearing in the most bad
+        and no good triangles; afterwards, edges left with no good triangle
+        are unverifiable and dropped too — unless removing one would
+        disconnect the view graph (bridge edges, e.g. the consecutive chain,
+        are kept: losing connectivity is worse than risking one edge)."""
+        E = len(self._edges)
+        if E == 0:
+            return
+        idx = {k: e for e, k in enumerate(self._edges)}
+        alive = self._edge_w > 0
+
+        def rel(e, a, b):
+            # rotation mapping frame a -> frame b along edge e=(i,j)
+            i, j = self._edges[e]
+            R = self._edge_R[e]
+            return R if (a, b) == (i, j) else R.T
+
+        # Enumerate triangles (i<j<k with all three edges present).
+        tris = []
+        for (i, j), e1 in idx.items():
+            for k in range(j + 1, j + self.pair_window + 1):
+                e2 = idx.get((j, k))
+                e3 = idx.get((i, k))
+                if e2 is None or e3 is None:
+                    continue
+                tris.append((e1, e2, e3))
+
+        def tri_angle(t):
+            e1, e2, e3 = t   # (i,j), (j,k), (i,k)
+            i, j = self._edges[e1]
+            _, k = self._edges[e2]
+            M = rel(e3, i, k).T @ (rel(e2, j, k) @ rel(e1, i, j))
+            return np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1)))
+
+        removed = []
+        while True:
+            good = np.zeros(E, np.int64)
+            bad = np.zeros(E, np.int64)
+            for t in tris:
+                if not all(alive[e] for e in t):
+                    continue
+                if tri_angle(t) < tau_deg:
+                    for e in t:
+                        good[e] += 1
+                else:
+                    for e in t:
+                        bad[e] += 1
+            cand = np.nonzero(alive & (good == 0) & (bad > 0))[0]
+            if len(cand) == 0:
+                break
+            # Max blame first; ties broken toward the WEAKEST support — a
+            # strong edge sharing only bad triangles is usually the victim of
+            # its partners, not the culprit.
+            worst = cand[np.lexsort((self._edge_w[cand], -bad[cand]))[0]]
+            alive[worst] = False
+            removed.append(self._edges[worst])
+
+        # Edges left in no triangle are unverifiable: DAMP them (they only
+        # count fractionally in the averaging) rather than drop — an
+        # unverifiable edge may still be the sole good link to a camera, and
+        # the residual-rejection backup downstream sees through the rest.
+        in_tri = np.zeros(E, bool)
+        for t in tris:
+            if all(alive[e] for e in t):
+                for e in t:
+                    in_tri[e] = True
+        damped = alive & ~in_tri & (self._edge_w > 0)
+
+        if removed:
+            self.warnings.append(
+                f"cycle filter dropped {len(removed)} edges: "
+                + ", ".join(map(str, removed))
+            )
+            for e in range(E):
+                if self._edge_w[e] > 0 and not alive[e]:
+                    self._edge_inl[self._edges[e]] = np.zeros_like(
+                        self._edge_inl[self._edges[e]]
+                    )
+            self._edge_w = np.where(alive, self._edge_w, 0.0)
+        self._edge_w = np.where(damped, 0.25 * self._edge_w, self._edge_w)
+
+    def _connected(self, alive: np.ndarray) -> bool:
+        C = self.max_img
+        parent = np.arange(C)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for e in np.nonzero(alive)[0]:
+            i, j = self._edges[e]
+            parent[find(i - 1)] = find(j - 1)
+        return len({find(c) for c in range(C)}) == 1
+
     def _motion_averaging(self) -> None:
         """Absolute rotations + camera centers from the view graph (both IRLS
         solvers run fully on device; chain inits are O(E) host walks)."""
         t0 = time.time()
         C = self.max_img
+        # Cycle-consistency outlier removal BEFORE any averaging: it needs no
+        # global estimate, so it cannot be misdirected the way
+        # residual-vs-average rejection can when the average is polluted.
+        self._filter_edges_by_cycles()
         ei = np.asarray([i - 1 for i, _ in self._edges], np.int32)
         ej = np.asarray([j - 1 for _, j in self._edges], np.int32)
         w = np.asarray(self._edge_w, np.float32)
@@ -219,6 +355,10 @@ class GlobalSfmEngine(SfmEngine):
             R = rotation_averaging(
                 R_rel, ei_j, ej_j, R, edge_w=w_j,
                 num_cameras=C, num_iters=self.rot_avg_iters,
+                # Sampson-refined edges are ~0.3-1 deg; finish the Weiszfeld
+                # anneal well below the good-edge noise so near-L1 rejection
+                # actually discriminates.
+                eps_final=0.02,
             )
             R_np = np.asarray(jax.device_get(R), np.float64)
             r_edge = np.linalg.norm(
@@ -228,7 +368,10 @@ class GlobalSfmEngine(SfmEngine):
             if not nz.any():
                 break
             med = np.median(r_edge[nz])
-            gate = max(3.0 * med, 0.15)          # 0.15 ~ 6 degrees
+            # Backup only — the cycle filter has already evicted the wrong
+            # edges, so this rejects just the gross stragglers (e.g. an edge
+            # whose only triangles were themselves removed).
+            gate = max(4.0 * med, 0.15)
             bad = nz & (r_edge > gate)
             if not bad.any():
                 break

@@ -222,6 +222,7 @@ class SfmEngine:
         pair_window: int = 1,
         local_ba_every: Optional[int] = None,
         local_ba_window: int = 5,
+        feature_extractor=None,
         auto_run: bool = True,
     ):
         self.img_path = img_path
@@ -251,6 +252,11 @@ class SfmEngine:
         # of one monolithic end-of-run solve).
         self.local_ba_every = local_ba_every
         self.local_ba_window = local_ba_window
+        # Extractor strategy slot (reference feature_extractor_class,
+        # Runner.py:129-130): any callable (image_bw) -> Features with the
+        # fixed-capacity contract — e.g. ops.superpoint.SuperPointExtractor
+        # or ops.dog's detector. None = the built-in batched SIFT frontend.
+        self.feature_extractor = feature_extractor
         self._track_seen_frame: np.ndarray = np.full(0, -1, dtype=np.int64)
         self.warnings: List[str] = []
 
@@ -302,6 +308,14 @@ class SfmEngine:
             grays.append(preprocess_image(img, self.config.scale_factor))
 
         feats: Dict[int, Features] = {}
+        if self.feature_extractor is not None:
+            for i, g in enumerate(grays):
+                feats[i + 1] = self.feature_extractor(g)
+            for idx in range(1, self.max_img + 1):
+                cap = feats[idx].keypoints.capacity
+                self._kp_tracks[idx] = np.full(cap, -1, dtype=np.int64)
+            self.stage_times["features"] = time.time() - t0
+            return feats
         shapes = {g.shape for g in grays}
         if len(shapes) == 1 and self.max_img > 1:
             from sfmfromscratch_tpu.pipeline.frontend import extract_features_batch

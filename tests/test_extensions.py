@@ -138,3 +138,34 @@ def test_checkpoint_resume_continues(rng, tmp_path):
     eng2.config = PipelineConfig()
     assert load_checkpoint(eng2, p) == 4
     assert eng2.map.num_tracks == 4
+
+
+def test_engine_with_custom_extractor(tmp_path):
+    """The extractor strategy slot (reference feature_extractor_class,
+    Runner.py:129-130): plug a custom callable into the engine."""
+    from tests.render import render_sequence, write_sequence
+    from tests.test_pipeline import _small_config
+    from sfmfromscratch_tpu.pipeline.incremental import SfmEngine
+    from sfmfromscratch_tpu.pipeline.frontend import extract_features
+    from sfmfromscratch_tpu.config import ExtractorConfig
+
+    rng = np.random.default_rng(5)
+    images, K, poses, X = render_sequence(rng, num_views=3, num_points=110)
+    d = tmp_path / "seq"
+    d.mkdir()
+    write_sequence(str(d), images)
+
+    calls = []
+    cfg_e = ExtractorConfig(
+        num_interest_points=400, ksize=3, gaussian_size=7, sigma=3.0,
+        alpha=0.05, feature_width=16, pyramid_level=2, pyramid_scale_factor=1.2,
+    )
+
+    def my_extractor(image_bw):
+        calls.append(1)
+        return extract_features(image_bw, cfg_e)
+
+    eng = SfmEngine(str(d), 3, config=_small_config(), single_K=K,
+                    feature_extractor=my_extractor, output_dir=str(tmp_path))
+    assert len(calls) == 3            # once per image, never per pair
+    assert eng.map.num_tracks > 20
