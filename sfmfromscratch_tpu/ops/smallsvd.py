@@ -30,8 +30,22 @@ def nullvec_lstsq(A: jax.Array) -> jax.Array:
     of epipolar accuracy (median 8-point residual 3.4 px vs 0.003 px on a
     synthetic scene). XLA's batched QDWH-SVD stays on-device and runs in
     sub-millisecond time at hypothesis batches of ~6000 on TPU v5e.
+
+    Overdetermined systems (m > n, e.g. an all-inlier refit over hundreds of
+    correspondences) are first reduced by QR: ||Ax|| = ||Rx|| exactly (Q is
+    orthogonal — unlike A^T A this loses NO conditioning), shrinking the SVD
+    to n x n. Without this, ``full_matrices=True`` materializes an m x m U
+    (600 x 600 for a 600-row refit — ~200x the useful work).
     """
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    m, n = A.shape[-2], A.shape[-1]
+    if m > n:
+        A = jnp.linalg.qr(A, mode="r")                 # (..., n, n)
+        _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
+    else:
+        # Underdetermined minimal systems (e.g. 8 x 9): the null vector lives
+        # in the part of V that only full_matrices=True produces; U is m x m
+        # and small, so the full SVD is cheap here.
+        _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
     v = Vt[..., -1, :]
     return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
 

@@ -80,13 +80,31 @@ class GlobalSfmEngine(SfmEngine):
         obs_gate_px: float = 8.0,
         rot_avg_iters: int = 64,
         trans_avg_iters: int = 12,
+        ba_rounds: int = 2,
+        regate_px: float = 3.0,
+        pair_mode: str = "window",
+        retrieval_k: int = 6,
         **kwargs,
     ):
+        # Pair selection: "window" assumes an ordered sequence (reference
+        # contract); "retrieval" proposes each image's top-k most similar
+        # images by pooled-descriptor similarity (unordered landmark
+        # collections, BASELINE config 5); "both" unions them (ordered
+        # sequences with loop closures).
+        assert pair_mode in ("window", "retrieval", "both")
+        self.pair_mode = pair_mode
+        self.retrieval_k = retrieval_k
         self.rel_num_hypotheses = rel_num_hypotheses
         self.min_edge_inliers = min_edge_inliers
         self.obs_gate_px = obs_gate_px
         self.rot_avg_iters = rot_avg_iters
         self.trans_avg_iters = trans_avg_iters
+        # BA -> drop observations with residual > regate_px -> BA again:
+        # averaging inits carry outlier observations (wrong matches that
+        # passed the first gate under a drifty init) which a single
+        # least-squares BA chases instead of the structure.
+        self.ba_rounds = max(1, ba_rounds)
+        self.regate_px = regate_px
         # view-graph state filled by the stages
         self._edges: List[tuple] = []          # (i, j) 1-based image ids, i < j
         self._edge_R: Optional[np.ndarray] = None
@@ -96,11 +114,54 @@ class GlobalSfmEngine(SfmEngine):
         self._kp_xy: Dict[int, np.ndarray] = {}
         self.R_cams: Optional[np.ndarray] = None   # (C, 3, 3)
         self.c_cams: Optional[np.ndarray] = None   # (C, 3) centers
+        # Robust BA by default: averaging inits carry heavier-tailed errors
+        # than the incremental chain's, so plain least squares lets outlier
+        # observations steer. Only applied when the caller left the config's
+        # huber_delta at its reference-faithful 0.
+        import dataclasses
+
+        from sfmfromscratch_tpu.config import PipelineConfig
+
+        cfg = kwargs.get("config") or PipelineConfig()
+        if cfg.ba.huber_delta == 0.0:
+            cfg = dataclasses.replace(
+                cfg, ba=dataclasses.replace(cfg.ba, huber_delta=3.0)
+            )
+        kwargs["config"] = cfg
         super().__init__(
             img_path, max_img, pair_window=max(2, pair_window), **kwargs
         )
 
     # ------------------------------------------------------------------ stages
+
+    def _candidate_pairs(self, feats: Dict[int, Features]):
+        pairs = set(super()._candidate_pairs(feats)) if self.pair_mode in (
+            "window", "both"
+        ) else set()
+        if self.pair_mode in ("retrieval", "both"):
+            # Pooled image descriptor: mean of valid RootSIFT descriptors,
+            # L2-normalized — a cheap bag-of-features embedding whose cosine
+            # similarity ranks candidate pairs. One batched device program:
+            # (C, K, 128) -> (C, 128) -> C x C matmul -> top-k.
+            C = self.max_img
+            D = jnp.stack([feats[i].descriptors for i in range(1, C + 1)])
+            M = jnp.stack([
+                feats[i].keypoints.mask for i in range(1, C + 1)
+            ]).astype(D.dtype)
+            pooled = jnp.sum(D * M[..., None], axis=1)
+            pooled = pooled / jnp.maximum(
+                jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-9
+            )
+            S = pooled @ pooled.T
+            S = S - 2.0 * jnp.eye(C, dtype=S.dtype)        # exclude self
+            k = min(self.retrieval_k, C - 1)
+            _, nbr = jax.lax.top_k(S, k)                   # (C, k)
+            nbr = np.asarray(jax.device_get(nbr))
+            for i in range(C):
+                for j in nbr[i]:
+                    a, b = i + 1, int(j) + 1
+                    pairs.add((min(a, b), max(a, b)))
+        return sorted(pairs)
 
     def _relative_poses(self) -> None:
         """Relative pose of every matched pair — chunks of pairs vmapped into
@@ -152,6 +213,7 @@ class GlobalSfmEngine(SfmEngine):
             (res.R, res.t, res.inliers, res.num_inliers, res.cheirality_ok)
             for _, res in pending
         ])
+        self.stage_times["relpose_ransac"] = time.time() - t0
         R_list, t_list, ninl_list, che_list, inl_masks = [], [], [], [], []
         for (chunk, _), (R_np, t_np, inl_np, ninl_np, che_np) in zip(pending, fetched):
             for ci, k in enumerate(chunk):
@@ -189,6 +251,9 @@ class GlobalSfmEngine(SfmEngine):
             self._edge_t = np.asarray(self._edge_t, np.float64)
             # High residual after refinement = contaminated support.
             che = che & (np.asarray(rms_np) < 4.0)
+            self.stage_times["relpose_refine"] = (
+                time.time() - t0 - self.stage_times["relpose_ransac"]
+            )
         good = (ninl >= self.min_edge_inliers) & che
         if not good.any() and len(pairs):
             # keep the strongest edges even if cheirality was noisy
@@ -222,15 +287,19 @@ class GlobalSfmEngine(SfmEngine):
             R = self._edge_R[e]
             return R if (a, b) == (i, j) else R.T
 
-        # Enumerate triangles (i<j<k with all three edges present).
+        # Enumerate triangles (i<j<k with all three edges present) from the
+        # adjacency — no sequential-window assumption, so retrieval-selected
+        # long-range pairs participate too.
+        succ: Dict[int, list] = {}
+        for (i, j) in idx:
+            succ.setdefault(i, []).append(j)
         tris = []
         for (i, j), e1 in idx.items():
-            for k in range(j + 1, j + self.pair_window + 1):
-                e2 = idx.get((j, k))
+            for k in succ.get(j, ()):
                 e3 = idx.get((i, k))
-                if e2 is None or e3 is None:
+                if e3 is None:
                     continue
-                tris.append((e1, e2, e3))
+                tris.append((e1, idx[(j, k)], e3))
 
         def tri_angle(t):
             e1, e2, e3 = t   # (i,j), (j,k), (i,k)
@@ -676,7 +745,50 @@ class GlobalSfmEngine(SfmEngine):
         self._triangulate()
         self._populate_map()
         # Camera 0 frozen: the averaging gauge (R=I, c=0) anchors BA.
-        self._global_ba(freeze_before=1)
+        err_before = None
+        for r in range(self.ba_rounds):
+            self._global_ba(freeze_before=1)
+            if err_before is None:
+                err_before = self.errors_before_after_ba[0]
+            if r < self.ba_rounds - 1 and self._regate_observations() == 0:
+                break
+        self.errors_before_after_ba = (err_before, self.errors_before_after_ba[1])
         if self.model_name is not None:
             self.save_data()
         return self
+
+    def _regate_observations(self) -> int:
+        """Drop observations whose residual under the CURRENT (post-BA) model
+        exceeds ``regate_px`` and tracks left with < 2 observations, then
+        rebuild the map. Returns the number of observations dropped. The
+        first gate ran under the (drifty) averaging init, so it admits wrong
+        matches that only become identifiable once BA has converged."""
+        from sfmfromscratch_tpu.ops.lie import so3_exp as _exp
+
+        frames, tracks, xy = self.map.observations()
+        pts = self.map.points()
+        P = np.empty((len(self.global_poses), 3, 4))
+        for c, (rv, t) in enumerate(self.global_poses):
+            R = np.asarray(_exp(jnp.asarray(rv, jnp.float32)), np.float64)
+            P[c] = self.global_K[c] @ np.concatenate([R, np.asarray(t)[:, None]], 1)
+        Po = P[frames]
+        h = np.einsum("oij,oj->oi", Po[:, :, :3], pts[tracks]) + Po[:, :, 3]
+        z = np.where(np.abs(h[:, 2]) < 1e-12, 1e-12, h[:, 2])
+        err = np.linalg.norm(h[:, :2] / z[:, None] - xy, axis=1)
+        ok = (h[:, 2] > 1e-6) & (err < self.regate_px)
+        cnt = np.bincount(tracks[ok], minlength=len(pts))
+        ok &= cnt[tracks] >= 2
+        dropped = int((~ok).sum())
+        if dropped == 0:
+            return 0
+        uniq, tr_c = np.unique(tracks[ok], return_inverse=True)
+        new_map = type(self.map)()
+        new_map.append_points_raw(pts[uniq])
+        fr = frames[ok]
+        xy_k = xy[ok]
+        for c in range(len(self.global_poses)):
+            m = fr == c
+            if m.any():
+                new_map.add_observations(tr_c[m].astype(np.int64), xy_k[m], c)
+        self.map = new_map
+        return dropped

@@ -345,16 +345,22 @@ class SfmEngine:
         self.stage_times["features"] = time.time() - t0
         return feats
 
-    def _match_pairs(self, feats: Dict[int, Features]) -> None:
-        """Consecutive-pair matching + inlier filtering (STAGE A). The robust
-        inlier filters of ALL pairs run as one vmapped RANSAC program."""
-        t0 = time.time()
-        mcfg = self.config.matcher
-        pairs = [
+    def _candidate_pairs(self, feats: Dict[int, Features]):
+        """Image pairs to match: the sequential window (reference
+        Runner.py:183-184 is the w=1 case). Engines for unordered collections
+        override this (e.g. retrieval-based selection in GlobalSfmEngine)."""
+        return [
             (i1, i2)
             for i1 in range(1, self.max_img)
             for i2 in range(i1 + 1, min(i1 + self.pair_window, self.max_img) + 1)
         ]
+
+    def _match_pairs(self, feats: Dict[int, Features]) -> None:
+        """Pairwise matching + inlier filtering (STAGE A). The robust
+        inlier filters of ALL pairs run as one vmapped RANSAC program."""
+        t0 = time.time()
+        mcfg = self.config.matcher
+        pairs = self._candidate_pairs(feats)
         staged = {}
         for i1, i2 in pairs:
             f1, f2 = feats[i1], feats[i2]

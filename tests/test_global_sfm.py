@@ -152,3 +152,36 @@ def test_global_engine_on_mesh(rendered, tmp_path):
     eb, ea = eng.errors_before_after_ba
     assert ea < 2.0 and ea <= eb + 1e-6
     assert eng.map.num_tracks > 40
+
+
+def test_global_retrieval_unordered(tmp_path):
+    """Retrieval pair selection reconstructs an UNORDERED collection — the
+    images are shuffled so the sequential-window assumption is void."""
+    from sfmfromscratch_tpu.utils.metrics import absolute_trajectory_error
+
+    rng = np.random.default_rng(3)
+    images, K, poses, X = render_sequence(
+        rng, num_views=6, num_points=160, orbit_step_deg=5.0,
+    )
+    perm = rng.permutation(len(images))
+    d = tmp_path / "shuffled"
+    d.mkdir()
+    write_sequence(str(d), [images[p] for p in perm])
+
+    eng = GlobalSfmEngine(
+        str(d), len(images), config=_small_config(), single_K=K,
+        output_dir=str(tmp_path), pair_mode="retrieval", retrieval_k=4,
+        rel_num_hypotheses=512,
+    )
+    eb, ea = eng.errors_before_after_ba
+    assert ea < 2.0
+    assert eng.map.num_tracks > 40
+
+    gt_c = np.stack([-poses[p][0].T @ poses[p][1] for p in perm])
+    est_c = []
+    for rvec, t in eng.global_poses:
+        R = np.asarray(so3_exp(rvec.astype(np.float32)), np.float64)
+        est_c.append(-R.T @ t)
+    ate = absolute_trajectory_error(np.stack(est_c), gt_c)
+    extent = np.linalg.norm(gt_c.max(0) - gt_c.min(0))
+    assert ate / extent < 0.08, f"ATE {ate:.4f} vs extent {extent:.4f}"
