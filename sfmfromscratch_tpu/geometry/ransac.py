@@ -52,6 +52,27 @@ class RansacFResult(NamedTuple):
     num_inliers: jax.Array
 
 
+class RansacFAdaptiveResult(NamedTuple):
+    F: jax.Array
+    inliers: jax.Array
+    num_inliers: jax.Array
+    hyps_used: jax.Array    # () int32 — hypotheses actually evaluated
+
+
+def _hypotheses_needed(
+    best_count: jax.Array, n_valid: jax.Array, sample_size: int, confidence: float
+) -> jax.Array:
+    """Standard adaptive-RANSAC stopping rule: with inlier ratio w estimated
+    from the best support so far, ``log(1-p) / log(1 - w^s)`` hypotheses give
+    probability p of having drawn one all-inlier minimal sample (the closed
+    form the reference evaluates once with an assumed w=0.4, SFM.py:184-187 —
+    here re-evaluated from the DATA after every stage)."""
+    w = best_count.astype(jnp.float32) / jnp.maximum(n_valid, 1).astype(jnp.float32)
+    w = jnp.clip(w, 0.0, 1.0)
+    fail = jnp.clip(1.0 - w**sample_size, 1e-12, 1.0 - 1e-7)
+    return jnp.log1p(-confidence) / jnp.log(fail)
+
+
 def sample_minimal_indices(
     key: jax.Array, n: int, mask: Optional[jax.Array], num_hypotheses: int, sample_size: int
 ) -> jax.Array:
@@ -135,6 +156,134 @@ def ransac_fundamental_batch(
         lambda k, a, b, m: ransac_fundamental(
             k, a, b, m, num_hypotheses=num_hypotheses, threshold=threshold,
             sample_size=sample_size,
+        )
+    )(keys, p1, p2, mask)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_hypotheses", "stage_size", "sample_size", "lo_rounds"),
+)
+def ransac_fundamental_adaptive(
+    key: jax.Array,
+    p1: jax.Array,
+    p2: jax.Array,
+    mask: Optional[jax.Array] = None,
+    max_hypotheses: int = 6144,
+    stage_size: int = 512,
+    threshold: float = 1.0,
+    sample_size: int = 8,
+    confidence: float = 0.98,
+    lo_rounds: int = 2,
+) -> RansacFAdaptiveResult:
+    """Adaptive (early-terminating) fundamental-matrix RANSAC.
+
+    One ``lax.while_loop`` over fixed-shape stages of ``stage_size``
+    hypotheses: after each stage the required hypothesis count is re-derived
+    from the best support found (``_hypotheses_needed``), so well-matched
+    pairs stop after one or two stages while the worst case still evaluates
+    ``max_hypotheses`` — the same guarantee as the fixed-count program for a
+    fraction of the device work. XLA-friendly: every stage is the same
+    fixed-shape batched program; only the trip count is data-dependent.
+
+    Finishes with ``lo_rounds`` of locally-optimized refit (masked full-set
+    8-point on the winner's inliers, kept when the MSAC score improves) — a
+    quality upgrade over the reference's minimal-sample winner
+    (SFM.py:126-160).
+    """
+    n = p1.shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), dtype=bool)
+    maskf = mask.astype(p1.dtype)
+    n_valid = jnp.sum(mask)
+    thr2 = jnp.asarray(threshold * threshold, p1.dtype)
+
+    def score_stage(sub):
+        idx = sample_minimal_indices(sub, n, mask, stage_size, sample_size)
+        F = eight_point_fundamental(p1[idx], p2[idx])        # (S, 3, 3)
+        d = epipolar_distances(F, p1, p2)                    # (S, N)
+        inl = (d < threshold) & mask[None, :]
+        cnt = jnp.sum(inl, axis=-1)
+        msac = jnp.sum(jnp.minimum(d * d, thr2) * maskf[None, :], axis=-1)
+        b = jnp.argmin(msac)
+        return F[b], inl[b], msac[b], cnt[b]
+
+    def cond(carry):
+        _key, _F, _inl, _msac, best_cnt, done = carry
+        needed = _hypotheses_needed(best_cnt, n_valid, sample_size, confidence)
+        return (done.astype(jnp.float32) < jnp.minimum(
+            needed, float(max_hypotheses)
+        )) & (done < max_hypotheses)
+
+    def body(carry):
+        key, F_b, inl_b, msac_b, cnt_b, done = carry
+        key, sub = jax.random.split(key)
+        F_s, inl_s, msac_s, cnt_s = score_stage(sub)
+        better = msac_s < msac_b
+        F_b = jnp.where(better, F_s, F_b)
+        inl_b = jnp.where(better, inl_s, inl_b)
+        msac_b = jnp.where(better, msac_s, msac_b)
+        cnt_b = jnp.where(better, cnt_s, cnt_b)
+        return key, F_b, inl_b, msac_b, cnt_b, done + stage_size
+
+    carry0 = (
+        key,
+        jnp.eye(3, dtype=p1.dtype),
+        jnp.zeros((n,), dtype=bool),
+        jnp.asarray(jnp.inf, p1.dtype),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    _key, F_b, inl_b, msac_b, _cnt, done = jax.lax.while_loop(cond, body, carry0)
+
+    # LO refit: full-inlier-set masked 8-point, keep on MSAC improvement.
+    def lo_round(state, _):
+        F_c, inl_c, msac_c = state
+        F_r = eight_point_fundamental(p1, p2, mask=inl_c)
+        d_r = epipolar_distances(F_r, p1, p2)
+        msac_r = jnp.sum(jnp.minimum(d_r * d_r, thr2) * maskf)
+        better = msac_r < msac_c
+        F_c = jnp.where(better, F_r, F_c)
+        inl_c = jnp.where(better, (d_r < threshold) & mask, inl_c)
+        msac_c = jnp.where(better, msac_r, msac_c)
+        return (F_c, inl_c, msac_c), None
+
+    (F_b, inl_b, _), _ = jax.lax.scan(
+        lo_round, (F_b, inl_b, msac_b), None, length=lo_rounds
+    )
+    return RansacFAdaptiveResult(
+        F=F_b, inliers=inl_b, num_inliers=jnp.sum(inl_b), hyps_used=done
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_hypotheses", "stage_size", "sample_size", "lo_rounds"),
+)
+def ransac_fundamental_adaptive_batch(
+    keys: jax.Array,
+    p1: jax.Array,
+    p2: jax.Array,
+    mask: jax.Array,
+    max_hypotheses: int = 6144,
+    stage_size: int = 512,
+    threshold: float = 1.0,
+    sample_size: int = 8,
+    confidence: float = 0.98,
+    lo_rounds: int = 2,
+) -> RansacFAdaptiveResult:
+    """``ransac_fundamental_adaptive`` vmapped over a leading pair axis.
+
+    Under ``vmap`` the while-loop runs until every lane has met its stopping
+    rule (finished lanes are frozen by the batching rule), so a chunk costs
+    the max stage count over its pairs — typically 1-2 stages instead of the
+    fixed program's 12."""
+    return jax.vmap(
+        lambda k, a, b, m: ransac_fundamental_adaptive(
+            k, a, b, m,
+            max_hypotheses=max_hypotheses, stage_size=stage_size,
+            threshold=threshold, sample_size=sample_size,
+            confidence=confidence, lo_rounds=lo_rounds,
         )
     )(keys, p1, p2, mask)
 
@@ -253,6 +402,198 @@ def ransac_essential_pose(
         num_inliers=jnp.sum(inl_best),
         cheirality_ok=strict_f,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_hypotheses", "stage_size", "sample_size", "cheirality_subset"
+    ),
+)
+def ransac_essential_pose_adaptive(
+    key: jax.Array,
+    p1: jax.Array,
+    p2: jax.Array,
+    K1: jax.Array,
+    K2: jax.Array,
+    mask: Optional[jax.Array] = None,
+    max_hypotheses: int = 6144,
+    stage_size: int = 512,
+    threshold: float = 1.0,
+    sample_size: int = 8,
+    confidence: float = 0.98,
+    min_cheirality_frac: float = 1.0,
+    cheirality_subset: int = 1024,
+) -> RansacPoseResult:
+    """Adaptive (early-terminating) relative-pose RANSAC.
+
+    Same hypothesis pipeline as :func:`ransac_essential_pose` (8-point F ->
+    E -> 4 candidates -> cheirality + MSAC ranking) but evaluated in
+    fixed-shape stages inside one ``lax.while_loop`` with the standard
+    adaptive stopping rule (``_hypotheses_needed``), then finished with the
+    same LO refit + candidate re-selection tail. Typical pairs stop after
+    1-2 stages; the worst case matches the fixed-count program."""
+    n = p1.shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), dtype=bool)
+    maskf = mask.astype(p1.dtype)
+    n_valid = jnp.sum(mask)
+    thr2 = jnp.asarray(threshold * threshold, p1.dtype)
+
+    ns = min(cheirality_subset, n)
+    p1_s, p2_s, mask_s = p1[:ns], p2[:ns], mask[:ns]
+    n_valid_s = jnp.sum(mask_s)
+    eps = 1e-6
+    min_strict = (min_cheirality_frac * n_valid_s).astype(jnp.int32)
+
+    def score_stage(sub):
+        idx = sample_minimal_indices(sub, n, mask, stage_size, sample_size)
+        F = eight_point_fundamental(p1[idx], p2[idx])            # (S, 3, 3)
+        E = essential_from_fundamental(F, K1, K2)
+        R1, R2, t = decompose_essential(E)
+        Rc = jnp.stack([R1, R1, R2, R2], axis=1)                 # (S, 4, 3, 3)
+        tc = jnp.stack([t, -t, t, -t], axis=1)                   # (S, 4, 3)
+        z1, z2 = two_view_depths(Rc, tc, p1_s, p2_s, K1, K2)     # (S, 4, ns)
+        front = (z1 > eps) & (z2 > eps) & mask_s[None, None, :]
+        best_che = jnp.max(jnp.sum(front, axis=-1), axis=-1)     # (S,)
+        d = epipolar_distances(F, p1, p2)                        # (S, N)
+        inl = (d < threshold) & mask[None, :]
+        cnt = jnp.sum(inl, axis=-1)
+        msac = jnp.sum(jnp.minimum(d * d, thr2) * maskf[None, :], axis=-1)
+        strict = best_che >= min_strict
+        s_score = jnp.where(strict, -msac, -jnp.inf)
+        sb = jnp.argmax(s_score)
+        lb = jnp.argmax(best_che * (n + 1) + cnt)
+        return (
+            F[sb], inl[sb], msac[sb], cnt[sb], strict[sb],
+            F[lb], inl[lb], cnt[lb],
+            (best_che * (n + 1) + cnt)[lb],
+        )
+
+    def cond(carry):
+        (_key, done, _Fs, _inls, _msacs, _has_s, _Fl, _inll, _lsc, best_cnt) = carry
+        needed = _hypotheses_needed(best_cnt, n_valid, sample_size, confidence)
+        return (done.astype(jnp.float32) < jnp.minimum(
+            needed, float(max_hypotheses)
+        )) & (done < max_hypotheses)
+
+    def body(carry):
+        key, done, F_s, inl_s, msac_s, has_s, F_l, inl_l, lsc, best_cnt = carry
+        key, sub = jax.random.split(key)
+        (Fsb, inlsb, msacsb, cntsb, strictsb,
+         Flb, inllb, cntlb, lscb) = score_stage(sub)
+        sb_better = strictsb & (msacsb < msac_s)
+        F_s = jnp.where(sb_better, Fsb, F_s)
+        inl_s = jnp.where(sb_better, inlsb, inl_s)
+        msac_s = jnp.where(sb_better, msacsb, msac_s)
+        has_s = has_s | strictsb
+        lb_better = lscb > lsc
+        F_l = jnp.where(lb_better, Flb, F_l)
+        inl_l = jnp.where(lb_better, inllb, inl_l)
+        lsc = jnp.where(lb_better, lscb, lsc)
+        # Stopping rule follows the support of the current winner.
+        best_cnt = jnp.maximum(
+            best_cnt, jnp.where(sb_better | (strictsb & ~has_s), cntsb, 0)
+        )
+        best_cnt = jnp.maximum(best_cnt, jnp.where(has_s, best_cnt, cntlb))
+        return (key, done + stage_size, F_s, inl_s, msac_s, has_s,
+                F_l, inl_l, lsc, best_cnt)
+
+    carry0 = (
+        key,
+        jnp.asarray(0, jnp.int32),
+        jnp.eye(3, dtype=p1.dtype),
+        jnp.zeros((n,), dtype=bool),
+        jnp.asarray(jnp.inf, p1.dtype),
+        jnp.asarray(False),
+        jnp.eye(3, dtype=p1.dtype),
+        jnp.zeros((n,), dtype=bool),
+        jnp.asarray(-jnp.inf, jnp.float32),
+        jnp.asarray(0, jnp.int32),
+    )
+    (_k, _done, F_s, inl_s, msac_s, has_s, F_l, inl_l, _lsc, _bc) = (
+        jax.lax.while_loop(cond, body, carry0)
+    )
+    F0 = jnp.where(has_s, F_s, F_l)
+    inl0 = jnp.where(has_s, inl_s, inl_l)
+    msac0 = jnp.where(
+        has_s, msac_s,
+        jnp.sum(
+            jnp.minimum(
+                epipolar_distances(F_l[None], p1, p2)[0] ** 2, thr2
+            ) * maskf
+        ),
+    )
+
+    # LO refit + pose decomposition (same tail as the fixed-count program).
+    def lo_round(state, _):
+        F_b, inl_b, msac_b = state
+        F_r = eight_point_fundamental(p1, p2, mask=inl_b)
+        d_r = epipolar_distances(F_r, p1, p2)
+        msac_r = jnp.sum(jnp.minimum(d_r * d_r, thr2) * maskf)
+        better = msac_r < msac_b
+        F_b = jnp.where(better, F_r, F_b)
+        inl_b = jnp.where(better, (d_r < threshold) & mask, inl_b)
+        msac_b = jnp.where(better, msac_r, msac_b)
+        return (F_b, inl_b, msac_b), None
+
+    (F_best, inl_best, _), _ = jax.lax.scan(
+        lo_round, (F0, inl0, msac0), None, length=2
+    )
+
+    E_f = essential_from_fundamental(F_best[None], K1, K2)
+    R1f, R2f, tf = decompose_essential(E_f)
+    Rcf = jnp.stack([R1f, R1f, R2f, R2f], axis=1)[0]
+    tcf = jnp.stack([tf, -tf, tf, -tf], axis=1)[0]
+    z1f, z2f = two_view_depths(Rcf, tcf, p1_s, p2_s, K1, K2)
+    front_f = (z1f > eps) & (z2f > eps) & mask_s[None, :]
+    che_f = jnp.sum(front_f, axis=-1)
+    cand = jnp.argmax(che_f)
+    strict_f = jnp.max(che_f) >= min_strict
+
+    return RansacPoseResult(
+        R=Rcf[cand],
+        t=tcf[cand],
+        F=F_best,
+        inliers=inl_best,
+        num_inliers=jnp.sum(inl_best),
+        cheirality_ok=strict_f,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_hypotheses", "stage_size", "sample_size", "cheirality_subset"
+    ),
+)
+def ransac_essential_pose_adaptive_batch(
+    keys: jax.Array,
+    p1: jax.Array,
+    p2: jax.Array,
+    K1: jax.Array,
+    K2: jax.Array,
+    mask: jax.Array,
+    max_hypotheses: int = 6144,
+    stage_size: int = 256,
+    threshold: float = 1.0,
+    sample_size: int = 8,
+    confidence: float = 0.98,
+    min_cheirality_frac: float = 0.75,
+    cheirality_subset: int = 512,
+) -> RansacPoseResult:
+    """``ransac_essential_pose_adaptive`` vmapped over a leading pair axis
+    (the global view-graph stage): finished lanes freeze while stragglers
+    keep drawing, so a chunk costs its max lane's stages."""
+    return jax.vmap(
+        lambda k, a, b, ka, kb, m: ransac_essential_pose_adaptive(
+            k, a, b, ka, kb, m,
+            max_hypotheses=max_hypotheses, stage_size=stage_size,
+            threshold=threshold, sample_size=sample_size,
+            confidence=confidence, min_cheirality_frac=min_cheirality_frac,
+            cheirality_subset=cheirality_subset,
+        )
+    )(keys, p1, p2, K1, K2, mask)
 
 
 @functools.partial(

@@ -96,3 +96,62 @@ def test_ransac_deterministic(rng):
     b = ransac_fundamental(jax.random.key(7), _f32(sc["p1o"]), _f32(sc["p2o"]),
                            num_hypotheses=300)
     np.testing.assert_array_equal(np.asarray(a.inliers), np.asarray(b.inliers))
+
+
+def test_ransac_fundamental_adaptive_matches_fixed(rng):
+    from sfmfromscratch_tpu.geometry.ransac import ransac_fundamental_adaptive
+
+    sc = _outlier_scene(rng)
+    res = ransac_fundamental_adaptive(
+        jax.random.key(11), _f32(sc["p1o"]), _f32(sc["p2o"]),
+        max_hypotheses=4096, stage_size=256, threshold=2.0,
+    )
+    inl = np.asarray(res.inliers)
+    assert inl[sc["inlier_gt"]].mean() > 0.8
+    assert inl[~sc["inlier_gt"]].mean() < 0.2
+    # With 2/3 inliers the stopping rule should fire well before the cap.
+    assert int(res.hyps_used) < 4096
+
+
+def test_ransac_pose_adaptive_recovers_motion(rng):
+    from sfmfromscratch_tpu.geometry.ransac import ransac_essential_pose_adaptive
+
+    sc = _outlier_scene(rng, n_out=20, noise=0.2)
+    res = ransac_essential_pose_adaptive(
+        jax.random.key(12), _f32(sc["p1o"]), _f32(sc["p2o"]),
+        _f32(sc["K"]), _f32(sc["K"]),
+        max_hypotheses=4096, stage_size=256, threshold=1.5,
+        min_cheirality_frac=0.9,
+    )
+    R = np.asarray(res.R)
+    t = np.asarray(res.t)
+    dR = R @ sc["R2"].T
+    angle = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+    assert angle < 3.0
+    t_gt = sc["t2"] / np.linalg.norm(sc["t2"])
+    cos = abs(t @ t_gt / np.linalg.norm(t))
+    assert cos > 0.99
+    assert int(res.num_inliers) > 50
+
+
+def test_ransac_pose_adaptive_batch(rng):
+    from sfmfromscratch_tpu.geometry.ransac import (
+        ransac_essential_pose_adaptive_batch,
+    )
+
+    scs = [_outlier_scene(np.random.default_rng(s), n_out=20, noise=0.2)
+           for s in (1, 2, 3)]
+    p1 = _f32(np.stack([s["p1o"] for s in scs]))
+    p2 = _f32(np.stack([s["p2o"] for s in scs]))
+    K = _f32(np.stack([s["K"] for s in scs]))
+    mask = jnp.ones((3, 90), bool)
+    keys = jax.random.split(jax.random.key(13), 3)
+    res = ransac_essential_pose_adaptive_batch(
+        keys, p1, p2, K, K, mask,
+        max_hypotheses=4096, stage_size=256, threshold=1.5,
+        min_cheirality_frac=0.9,
+    )
+    for i, sc in enumerate(scs):
+        dR = np.asarray(res.R[i]) @ sc["R2"].T
+        angle = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        assert angle < 3.0
