@@ -23,9 +23,28 @@ import os as _os
 if _os.environ.get("SFM_TPU_COMPILE_CACHE", "1") != "0":
     import jax as _jax
 
+    def _machine_tag() -> str:
+        # Scope the default cache dir by CPU identity: XLA's CPU backend AOT
+        # result embeds machine features, and loading an entry compiled on a
+        # different host silently changes instruction selection (and can
+        # SIGILL) — the loader only warns. A features fingerprint in the path
+        # makes foreign entries invisible instead.
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        import hashlib
+
+                        return hashlib.sha1(line.encode()).hexdigest()[:12]
+        except OSError:
+            pass
+        import platform
+
+        return platform.machine() or "unknown"
+
     _cache_dir = _os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
-        _os.path.expanduser("~/.cache/sfmfromscratch_tpu/xla"),
+        _os.path.expanduser(f"~/.cache/sfmfromscratch_tpu/xla-{_machine_tag()}"),
     )
     try:
         _os.makedirs(_cache_dir, exist_ok=True)

@@ -61,6 +61,14 @@ class RansacConfig:
     # minimal solver internally, PoseEstimator.py:54-62).
     pnp_solver: str = "p3p"
     pnp_max_iterations: Optional[int] = None
+    # Adaptive (early-terminating) RANSAC for the pairwise epipolar stages:
+    # fixed-shape stages of ``stage_size`` hypotheses inside one
+    # ``lax.while_loop``; after each stage the required count is re-derived
+    # from the best support found (the formula the reference evaluates ONCE
+    # with an assumed inlier ratio, SFM.py:184-187). Worst case still runs
+    # ``num_iterations()`` hypotheses; typical pairs stop after 1-2 stages.
+    adaptive: bool = True
+    stage_size: int = 512
 
     def num_iterations(self) -> int:
         if self.max_iterations is not None:
@@ -71,6 +79,13 @@ class RansacConfig:
             1.0 - self.ind_prob_correct ** self.sample_size
         )
         return int(n)
+
+    def max_hypotheses(self) -> int:
+        """``num_iterations()`` rounded up to a whole number of adaptive
+        stages (the early-termination cap)."""
+        n = self.num_iterations()
+        s = self.stage_size
+        return ((n + s - 1) // s) * s
 
     def pnp_num_iterations(self) -> int:
         """Hypothesis count for the PnP stage.  3-point samples hit an

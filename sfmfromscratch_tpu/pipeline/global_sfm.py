@@ -44,7 +44,10 @@ from sfmfromscratch_tpu.geometry.averaging import (
     rotation_averaging,
     translation_averaging,
 )
-from sfmfromscratch_tpu.geometry.ransac import ransac_essential_pose_batch
+from sfmfromscratch_tpu.geometry.ransac import (
+    ransac_essential_pose_adaptive_batch,
+    ransac_essential_pose_batch,
+)
 from sfmfromscratch_tpu.geometry.triangulation import (
     triangulate_multiview,
     two_view_depths,
@@ -202,12 +205,25 @@ class GlobalSfmEngine(SfmEngine):
                     for a in batch
                 ]
                 keys = jax.device_put(keys, NamedSharding(self.mesh, P("data")))
-            res = ransac_essential_pose_batch(
-                keys, *batch,
-                num_hypotheses=self.rel_num_hypotheses,
-                threshold=self.config.ransac.epipolar_threshold,
-                min_cheirality_frac=0.75,
-            )
+            if self.config.ransac.adaptive:
+                # Early-terminating stages; these pair masks are already
+                # epipolar-RANSAC inliers, so almost every lane stops after
+                # the first stage.
+                res = ransac_essential_pose_adaptive_batch(
+                    keys, *batch,
+                    max_hypotheses=self.rel_num_hypotheses,
+                    stage_size=min(256, self.rel_num_hypotheses),
+                    threshold=self.config.ransac.epipolar_threshold,
+                    confidence=self.config.ransac.prob_success,
+                    min_cheirality_frac=0.75,
+                )
+            else:
+                res = ransac_essential_pose_batch(
+                    keys, *batch,
+                    num_hypotheses=self.rel_num_hypotheses,
+                    threshold=self.config.ransac.epipolar_threshold,
+                    min_cheirality_frac=0.75,
+                )
             pending.append((chunk, res))
         fetched = jax.device_get([
             (res.R, res.t, res.inliers, res.num_inliers, res.cheirality_ok)
@@ -308,26 +324,49 @@ class GlobalSfmEngine(SfmEngine):
             M = rel(e3, i, k).T @ (rel(e2, j, k) @ rel(e1, i, j))
             return np.degrees(np.arccos(np.clip((np.trace(M) - 1) / 2, -1, 1)))
 
+        def live_residuals():
+            return [
+                (t, tri_angle(t)) for t in tris if all(alive[e] for e in t)
+            ]
+
+        # Noise-adaptive threshold: a triangle accumulates ~sqrt(3)x the
+        # per-edge rotation noise, so on a uniformly noisy graph a fixed tau
+        # marks MOST triangles bad and greedy eviction shreds good edges
+        # (the accusers die, the culprit survives). Scale tau by the median
+        # triangle residual — on a clean graph it stays at tau_deg.
+        rr = [a for _, a in live_residuals()]
+        tau_eff = max(tau_deg, 1.5 * float(np.median(rr))) if rr else tau_deg
+
         removed = []
         while True:
-            good = np.zeros(E, np.int64)
-            bad = np.zeros(E, np.int64)
-            for t in tris:
-                if not all(alive[e] for e in t):
-                    continue
-                if tri_angle(t) < tau_deg:
-                    for e in t:
-                        good[e] += 1
-                else:
-                    for e in t:
-                        bad[e] += 1
-            cand = np.nonzero(alive & (good == 0) & (bad > 0))[0]
-            if len(cand) == 0:
+            live = live_residuals()
+            if not any(a >= tau_eff for _, a in live):
                 break
-            # Max blame first; ties broken toward the WEAKEST support — a
-            # strong edge sharing only bad triangles is usually the victim of
-            # its partners, not the culprit.
-            worst = cand[np.lexsort((self._edge_w[cand], -bad[cand]))[0]]
+            # Evict the edge with the highest SUPPORT-NORMALIZED median
+            # residual over its live triangles: a wrong edge poisons every
+            # triangle it touches, while an accused good edge is only high in
+            # triangles shared with the culprit. The median alone still falls
+            # into the cancellation trap (two bad edges at one node whose
+            # errors cancel in their shared triangle make the good middle
+            # edge look worst), so the residual is scaled by sqrt(support):
+            # an edge's expected rotation noise goes as 1/sqrt(inliers), so
+            # a given residual is far more damning on a 15-inlier edge than
+            # on a 60-inlier one.
+            per_edge: Dict[int, list] = {}
+            for t, a in live:
+                for e in t:
+                    per_edge.setdefault(e, []).append(a)
+            in_bad = set()
+            for t, a in live:
+                if a >= tau_eff:
+                    in_bad.update(t)
+
+            def score(e):
+                return float(np.median(per_edge[e])) * np.sqrt(
+                    1.0 / max(self._edge_w[e], 1.0)
+                )
+
+            worst = min(in_bad, key=lambda e: (-score(e), self._edge_w[e]))
             alive[worst] = False
             removed.append(self._edges[worst])
 

@@ -40,6 +40,7 @@ from sfmfromscratch_tpu.geometry.pnp import pnp_ransac
 from sfmfromscratch_tpu.geometry.ransac import (
     ransac_essential_pose,
     ransac_fundamental,
+    ransac_fundamental_adaptive_batch,
     ransac_fundamental_batch,
 )
 from sfmfromscratch_tpu.geometry.triangulation import refine_points_gn, triangulate_dlt
@@ -395,14 +396,30 @@ class SfmEngine:
                 chunk = filt[c0:c0 + CHUNK]
                 pad_keys = chunk + [chunk[-1]] * (CHUNK - len(chunk))
                 keys = jax.random.split(self._next_key(), CHUNK)
-                res = ransac_fundamental_batch(
+                rcfg = self.config.ransac
+                batch = (
                     keys,
                     jnp.stack([staged[k][0] for k in pad_keys]),
                     jnp.stack([staged[k][1] for k in pad_keys]),
                     jnp.stack([staged[k][4] for k in pad_keys]),
-                    num_hypotheses=self._num_hyp,
-                    threshold=self.config.ransac.epipolar_threshold,
                 )
+                if rcfg.adaptive:
+                    # Early-terminating stages: a chunk costs its worst pair's
+                    # stage count (typically 1-2 of 12) instead of the full
+                    # 5,967-hypothesis program.
+                    res = ransac_fundamental_adaptive_batch(
+                        *batch,
+                        max_hypotheses=rcfg.max_hypotheses(),
+                        stage_size=rcfg.stage_size,
+                        threshold=rcfg.epipolar_threshold,
+                        confidence=rcfg.prob_success,
+                    )
+                else:
+                    res = ransac_fundamental_batch(
+                        *batch,
+                        num_hypotheses=self._num_hyp,
+                        threshold=rcfg.epipolar_threshold,
+                    )
                 for ci, k in enumerate(chunk):
                     filt_inliers[k] = res.inliers[ci]
         for n, key in enumerate(staged):

@@ -11,6 +11,11 @@ import os
 # pre-imports jax with jax_platforms pinned to the tunneled TPU ('axon,cpu'),
 # so both the env var AND the config must be overridden. Tests run on the
 # virtual 8-device CPU mesh; set SFM_TEST_TPU=1 to run on the real chip.
+# Tests compile fast on CPU and must not read entries a previous (possibly
+# different-machine) run wrote: stale CPU AOT binaries change float numerics
+# silently. The real-chip paths (bench, CLI) keep the persistent cache.
+os.environ.setdefault("SFM_TPU_COMPILE_CACHE", "0")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
