@@ -39,6 +39,7 @@ from sfmfromscratch_tpu.geometry.camera import SensorType, intrinsics_from_exif,
 from sfmfromscratch_tpu.geometry.pnp import pnp_ransac
 from sfmfromscratch_tpu.geometry.ransac import (
     ransac_essential_pose,
+    ransac_essential_pose_adaptive,
     ransac_fundamental,
     ransac_fundamental_adaptive_batch,
     ransac_fundamental_batch,
@@ -79,14 +80,26 @@ def _chain_step_device(
     return pose.ok, pose.inliers, rvec, pose.t, P2, X_new, ok_new
 
 
-@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
-def _bootstrap_device(key, p1, p2, K1, K2, mask, num_hypotheses: int, threshold):
+@functools.partial(
+    jax.jit, static_argnames=("num_hypotheses", "stage_size", "adaptive")
+)
+def _bootstrap_device(
+    key, p1, p2, K1, K2, mask, num_hypotheses: int, threshold,
+    stage_size: int = 512, adaptive: bool = False,
+):
     """Bootstrap stage fused into one device program (one host fetch)."""
-    pose = ransac_essential_pose(
-        key, p1, p2, K1, K2, mask,
-        num_hypotheses=num_hypotheses, threshold=threshold,
-        min_cheirality_frac=0.75,
-    )
+    if adaptive:
+        pose = ransac_essential_pose_adaptive(
+            key, p1, p2, K1, K2, mask,
+            max_hypotheses=num_hypotheses, stage_size=stage_size,
+            threshold=threshold, min_cheirality_frac=0.75,
+        )
+    else:
+        pose = ransac_essential_pose(
+            key, p1, p2, K1, K2, mask,
+            num_hypotheses=num_hypotheses, threshold=threshold,
+            min_cheirality_frac=0.75,
+        )
     P1 = projection_matrix(jnp.eye(3), jnp.zeros(3), K1)
     P2 = projection_matrix(pose.R, pose.t, K2)
     X = triangulate_dlt(p1, p2, P1, P2)
@@ -441,9 +454,12 @@ class SfmEngine:
         """Initial pair (1,2): pose + triangulation (STAGE B)."""
         t0 = time.time()
         pg = self.pair_geometry[(1, 2)]
+        rcfg = self.config.ransac
         out = _bootstrap_device(
             self._next_key(), pg.p1, pg.p2, pg.K1, pg.K2, pg.mask,
-            self._num_hyp, self.config.ransac.epipolar_threshold,
+            rcfg.max_hypotheses() if rcfg.adaptive else self._num_hyp,
+            rcfg.epipolar_threshold,
+            stage_size=rcfg.stage_size, adaptive=rcfg.adaptive,
         )
         # ONE host fetch for the whole stage (every device_get call costs a
         # full tunnel round trip regardless of payload size).
