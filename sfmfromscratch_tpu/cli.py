@@ -54,6 +54,9 @@ def main(argv=None) -> int:
     rec.add_argument("--on-pose-failure", choices=["raise", "recover"], default="raise")
     rec.add_argument("--ransac-iterations", type=int, default=None,
                      help="override the derived RANSAC hypothesis count")
+    rec.add_argument("--pair-cache-dir", default=None,
+                     help="persist each matched pair here; a killed run "
+                          "resumes STAGE A at the first uncomputed pair")
     rec.add_argument("--pipeline", choices=["incremental", "global"],
                      default="incremental",
                      help="incremental PnP chain, or global motion averaging "
@@ -139,6 +142,7 @@ def main(argv=None) -> int:
             camera_sensor=sensor, model_name=args.model_name,
             output_dir=args.output_dir,
             pair_window=max(2, args.pair_window),
+            pair_cache_dir=args.pair_cache_dir,
         )
     else:
         eng = SfmEngine(
@@ -147,6 +151,7 @@ def main(argv=None) -> int:
             output_dir=args.output_dir, assoc_mode=args.assoc_mode,
             pair_window=args.pair_window, local_ba_every=args.local_ba_every,
             on_pose_failure=args.on_pose_failure,
+            pair_cache_dir=args.pair_cache_dir,
         )
     b, a = eng.errors_before_after_ba
     print(f"tracks={eng.map.num_tracks} observations={eng.map.num_observations}")

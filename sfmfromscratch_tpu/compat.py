@@ -409,19 +409,50 @@ class PnP(PoseEstimator):
 
 def FeatureRunner(im1_path, im2_path, scale_factor: float = 0.5,
                   feature_extractor_class=None, extractor_params: Optional[dict] = None,
-                  match_threshold: float = 0.8, **_ignored):
+                  match_threshold: float = 0.8, print_img: bool = False,
+                  print_features: bool = False, print_matches: bool = False,
+                  output_dir: str = "output", **_ignored):
     """Two-view pipeline (reference Runner.py:22-115). Returns the engine's
-    FeatureRunner dataclass, which carries .matches/.features1/.features2."""
+    FeatureRunner dataclass, which carries .matches/.features1/.features2.
+
+    The debug-render flags mirror the reference (Runner.py:68-73): they write
+    the grayscale inputs, the interest-point figure, and the correspondence
+    figure into ``output_dir``."""
     from sfmfromscratch_tpu.pipeline.frontend import FeatureRunner as _FR
     from sfmfromscratch_tpu.config import MatcherConfig
 
     cfg = ExtractorConfig.from_params_dict(extractor_params or {})
-    return _FR.run(
+    fr = _FR.run(
         im1_path, im2_path, cfg,
         MatcherConfig(ratio_threshold=match_threshold,
                       max_matches=cfg.num_interest_points),
         scale_factor=scale_factor,
     )
+    if print_img or print_features or print_matches:
+        import os
+
+        from sfmfromscratch_tpu.io.images import save_image
+        from sfmfromscratch_tpu.viz.overlays import (
+            save_feature_figure, save_match_figure,
+        )
+
+        os.makedirs(output_dir, exist_ok=True)
+        g1 = np.asarray(fr.image1_bw)
+        g2 = np.asarray(fr.image2_bw)
+        if print_img:          # reference print_image (Runner.py:75-81)
+            save_image(os.path.join(output_dir, "image1_bw.jpg"), g1)
+            save_image(os.path.join(output_dir, "image2_bw.jpg"), g2)
+        if print_features:     # reference print_features (Runner.py:83-98)
+            save_feature_figure(
+                os.path.join(output_dir, "features.jpg"),
+                g1, g2, fr.features1, fr.features2,
+            )
+        if print_matches:      # reference print_matches (Runner.py:100-115)
+            save_match_figure(
+                os.path.join(output_dir, "matches.jpg"),
+                g1, g2, fr.features1, fr.features2, fr.matches,
+            )
+    return fr
 
 
 class SFMRunner:

@@ -237,6 +237,7 @@ class SfmEngine:
         local_ba_every: Optional[int] = None,
         local_ba_window: int = 5,
         feature_extractor=None,
+        pair_cache_dir: Optional[str] = None,
         auto_run: bool = True,
     ):
         self.img_path = img_path
@@ -271,6 +272,11 @@ class SfmEngine:
         # fixed-capacity contract — e.g. ops.superpoint.SuperPointExtractor
         # or ops.dog's detector. None = the built-in batched SIFT frontend.
         self.feature_extractor = feature_extractor
+        # Restartable match graph (SURVEY.md §5.3): every completed pair's
+        # geometry is persisted to this directory, so a killed run resumes
+        # STAGE A at the first uncomputed pair instead of from scratch. Shard
+        # -safe: each pair is its own file, keyed by a config fingerprint.
+        self.pair_cache_dir = pair_cache_dir
         self._track_seen_frame: np.ndarray = np.full(0, -1, dtype=np.int64)
         self.warnings: List[str] = []
 
@@ -369,14 +375,56 @@ class SfmEngine:
             for i2 in range(i1 + 1, min(i1 + self.pair_window, self.max_img) + 1)
         ]
 
+    def _pair_cache_tag(self) -> str:
+        """Fingerprint of everything that determines a pair's staged geometry;
+        cache entries written under a different configuration are invisible."""
+        import hashlib
+
+        c = self.config
+        sig = repr((
+            c.extractor, c.matcher, c.ransac, c.scale_factor, c.seed,
+            bool(getattr(self, "_filter_all_pairs", False)),
+        ))
+        return hashlib.sha1(sig.encode()).hexdigest()[:16]
+
+    def _pair_cache_file(self, i1: int, i2: int) -> str:
+        return os.path.join(self.pair_cache_dir, f"pair_{i1}_{i2}.npz")
+
     def _match_pairs(self, feats: Dict[int, Features]) -> None:
         """Pairwise matching + inlier filtering (STAGE A). The robust
         inlier filters of ALL pairs run as one vmapped RANSAC program."""
         t0 = time.time()
         mcfg = self.config.matcher
         pairs = self._candidate_pairs(feats)
+
+        # Resume: pairs already persisted by a previous (killed) run skip
+        # matching AND filtering. The RNG stream the filter consumes depends
+        # on how many pairs remain, so a resumed run is deterministic given
+        # its restart point but not bitwise-equal to an uninterrupted one.
+        cached: Dict[Tuple[int, int], dict] = {}
+        if self.pair_cache_dir:
+            os.makedirs(self.pair_cache_dir, exist_ok=True)
+            tag = self._pair_cache_tag()
+            for k in pairs:
+                f = self._pair_cache_file(*k)
+                if os.path.exists(f):
+                    try:
+                        z = np.load(f)
+                        if str(z["tag"]) == tag:
+                            cached[k] = {
+                                n: z[n] for n in ("p1", "p2", "idx1", "idx2", "mask")
+                            }
+                    except Exception:
+                        pass  # unreadable/partial file => recompute
+            if cached:
+                self.warnings.append(
+                    f"pair cache: resumed {len(cached)}/{len(pairs)} pairs"
+                )
+
         staged = {}
         for i1, i2 in pairs:
+            if (i1, i2) in cached:
+                continue
             f1, f2 = feats[i1], feats[i2]
             matches = match_ratio_test(
                 f1.descriptors, f2.descriptors,
@@ -435,11 +483,19 @@ class SfmEngine:
                     )
                 for ci, k in enumerate(chunk):
                     filt_inliers[k] = res.inliers[ci]
-        for n, key in enumerate(staged):
-            p1, p2, idx1, idx2, mask = staged[key]
-            if key != (1, 2):
-                mask = filt_inliers[key]
+        for key in pairs:
             i1, i2 = key
+            if key in cached:
+                z = cached[key]
+                p1 = jnp.asarray(z["p1"], jnp.float32)
+                p2 = jnp.asarray(z["p2"], jnp.float32)
+                idx1 = jnp.asarray(z["idx1"], jnp.int32)
+                idx2 = jnp.asarray(z["idx2"], jnp.int32)
+                mask = jnp.asarray(z["mask"], bool)
+            else:
+                p1, p2, idx1, idx2, mask = staged[key]
+                if key != (1, 2) or getattr(self, "_filter_all_pairs", False):
+                    mask = filt_inliers.get(key, mask)
             K1 = jnp.asarray(self._intrinsics(i1), dtype=jnp.float32)
             K2 = jnp.asarray(self._intrinsics(i2), dtype=jnp.float32)
             self.pair_geometry[(i1, i2)] = PairGeometry(
@@ -448,6 +504,21 @@ class SfmEngine:
             self.pair_geometry[(i2, i1)] = PairGeometry(
                 p1=p2, p2=p1, idx1=idx2, idx2=idx1, mask=mask, K1=K2, K2=K1
             )
+        if self.pair_cache_dir and staged:
+            # ONE batched fetch for all newly computed pairs (per-array
+            # device_get over the tunneled chip costs a full round trip),
+            # then one atomic-rename write per pair so a kill mid-write
+            # never leaves a truncated entry to trip the next resume.
+            new_keys = [k for k in pairs if k not in cached]
+            fetched = jax.device_get([
+                (pg.p1, pg.p2, pg.idx1, pg.idx2, pg.mask)
+                for pg in (self.pair_geometry[k] for k in new_keys)
+            ])
+            for k, (p1n, p2n, i1n, i2n, mn) in zip(new_keys, fetched):
+                f = self._pair_cache_file(*k)
+                tmp = f + ".tmp.npz"   # savez keeps names already ending .npz
+                np.savez(tmp, tag=tag, p1=p1n, p2=p2n, idx1=i1n, idx2=i2n, mask=mn)
+                os.replace(tmp, f)
         self.stage_times["matching"] = time.time() - t0
 
     def _bootstrap(self):

@@ -177,3 +177,45 @@ def test_scan_chain_matches_host_chain(rendered):
     rms = np.sqrt(np.mean(np.sum((aligned - b) ** 2, axis=1)))
     extent = np.linalg.norm(b.max(0) - b.min(0))
     assert rms < 0.1 * extent
+
+
+def test_pair_cache_restartable_matching(rendered, tmp_path):
+    """STAGE A is restartable per pair (SURVEY.md §5.3): a second engine over
+    the same cache resumes every pair, a partially-deleted cache recomputes
+    only the missing pairs, and the resumed reconstruction matches quality."""
+    cache = str(tmp_path / "paircache")
+    e1 = SfmEngine(rendered["dir"], rendered["n"], config=_small_config(),
+                   single_K=rendered["K"], output_dir=str(tmp_path / "o1"),
+                   pair_cache_dir=cache, pair_window=2)
+    files = sorted(os.listdir(cache))
+    n_pairs = len([k for k in e1.pair_geometry if k[0] < k[1]])
+    assert len(files) == n_pairs and all(f.endswith(".npz") for f in files)
+
+    # Full resume: no pair recomputed, identical staged geometry.
+    e2 = SfmEngine(rendered["dir"], rendered["n"], config=_small_config(),
+                   single_K=rendered["K"], output_dir=str(tmp_path / "o2"),
+                   pair_cache_dir=cache, pair_window=2)
+    assert any(f"resumed {n_pairs}/{n_pairs}" in w for w in e2.warnings)
+    for k in e1.pair_geometry:
+        np.testing.assert_array_equal(
+            np.asarray(e1.pair_geometry[k].mask), np.asarray(e2.pair_geometry[k].mask)
+        )
+    assert e2.errors_before_after_ba[1] < 3.0
+
+    # Partial resume: drop one pair file; only that pair recomputes.
+    os.remove(os.path.join(cache, files[0]))
+    e3 = SfmEngine(rendered["dir"], rendered["n"], config=_small_config(),
+                   single_K=rendered["K"], output_dir=str(tmp_path / "o3"),
+                   pair_cache_dir=cache, pair_window=2)
+    assert any(f"resumed {n_pairs - 1}/{n_pairs}" in w for w in e3.warnings)
+    assert len(os.listdir(cache)) == n_pairs   # recomputed pair re-persisted
+    assert e3.errors_before_after_ba[1] < 3.0
+
+    # A different configuration must not read these entries.
+    import dataclasses
+    cfg4 = dataclasses.replace(_small_config(),
+                               matcher=MatcherConfig(ratio_threshold=0.8, max_matches=400))
+    e4 = SfmEngine(rendered["dir"], rendered["n"], config=cfg4,
+                   single_K=rendered["K"], output_dir=str(tmp_path / "o4"),
+                   pair_cache_dir=cache, pair_window=2)
+    assert not any("resumed" in w for w in e4.warnings)

@@ -71,3 +71,27 @@ def test_feature_and_match_figures(tmp_path, rng):
     save_match_figure(str(tmp_path / "m.png"), img, img, fr.features1, fr.features2, fr.matches)
     assert (tmp_path / "f.png").exists()
     assert (tmp_path / "m.png").exists()
+
+def test_compat_feature_runner_print_flags(tmp_path, rng):
+    """The compat FeatureRunner honors the reference's debug-render flags
+    (Runner.py:68-73): grayscale dumps, feature figure, match figure."""
+    from PIL import Image
+
+    from sfmfromscratch_tpu.compat import FeatureRunner
+
+    img = (rng.uniform(0, 0.3, (64, 80, 3)) * 255).astype(np.uint8)
+    img[20:30, 30:40] += 150
+    p1 = str(tmp_path / "a.jpg")
+    p2 = str(tmp_path / "b.jpg")
+    Image.fromarray(img).save(p1)
+    Image.fromarray(img).save(p2)
+    out = tmp_path / "out"
+    FeatureRunner(
+        p1, p2, scale_factor=1.0,
+        extractor_params={"num_interest_points": 40, "ksize": 3,
+                          "pyramid_level": 1, "feature_width": 16, "sigma": 3.0},
+        match_threshold=0.99, print_img=True, print_features=True,
+        print_matches=True, output_dir=str(out),
+    )
+    for name in ("image1_bw.jpg", "image2_bw.jpg", "features.jpg", "matches.jpg"):
+        assert (out / name).exists(), name
