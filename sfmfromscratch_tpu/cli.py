@@ -54,6 +54,9 @@ def main(argv=None) -> int:
     rec.add_argument("--on-pose-failure", choices=["raise", "recover"], default="raise")
     rec.add_argument("--ransac-iterations", type=int, default=None,
                      help="override the derived RANSAC hypothesis count")
+    rec.add_argument("--profile-dir", default=None,
+                     help="capture a jax.profiler trace of the whole "
+                          "reconstruction (open in Perfetto/TensorBoard)")
     rec.add_argument("--pair-cache-dir", default=None,
                      help="persist each matched pair here; a killed run "
                           "resumes STAGE A at the first uncomputed pair")
@@ -134,25 +137,35 @@ def main(argv=None) -> int:
         )
         cfg = cfg  # K already at working scale; engine won't rescale single_K
 
+    import contextlib
+
+    prof = contextlib.nullcontext()
+    if args.profile_dir:
+        from sfmfromscratch_tpu.utils import profiling
+
+        prof = profiling.trace(args.profile_dir)
+
     if args.pipeline == "global":
         from sfmfromscratch_tpu.pipeline.global_sfm import GlobalSfmEngine
 
-        eng = GlobalSfmEngine(
-            args.img_path, args.max_img, config=cfg, single_K=single_K,
-            camera_sensor=sensor, model_name=args.model_name,
-            output_dir=args.output_dir,
-            pair_window=max(2, args.pair_window),
-            pair_cache_dir=args.pair_cache_dir,
-        )
+        with prof:
+            eng = GlobalSfmEngine(
+                args.img_path, args.max_img, config=cfg, single_K=single_K,
+                camera_sensor=sensor, model_name=args.model_name,
+                output_dir=args.output_dir,
+                pair_window=max(2, args.pair_window),
+                pair_cache_dir=args.pair_cache_dir,
+            )
     else:
-        eng = SfmEngine(
-            args.img_path, args.max_img, config=cfg, single_K=single_K,
-            camera_sensor=sensor, model_name=args.model_name,
-            output_dir=args.output_dir, assoc_mode=args.assoc_mode,
-            pair_window=args.pair_window, local_ba_every=args.local_ba_every,
-            on_pose_failure=args.on_pose_failure,
-            pair_cache_dir=args.pair_cache_dir,
-        )
+        with prof:
+            eng = SfmEngine(
+                args.img_path, args.max_img, config=cfg, single_K=single_K,
+                camera_sensor=sensor, model_name=args.model_name,
+                output_dir=args.output_dir, assoc_mode=args.assoc_mode,
+                pair_window=args.pair_window, local_ba_every=args.local_ba_every,
+                on_pose_failure=args.on_pose_failure,
+                pair_cache_dir=args.pair_cache_dir,
+            )
     b, a = eng.errors_before_after_ba
     print(f"tracks={eng.map.num_tracks} observations={eng.map.num_observations}")
     print(f"mean reprojection error: {b:.4f} -> {a:.4f} px")

@@ -211,9 +211,14 @@ def ransac_fundamental_adaptive(
     def cond(carry):
         _key, _F, _inl, _msac, best_cnt, done = carry
         needed = _hypotheses_needed(best_cnt, n_valid, sample_size, confidence)
+        # Futility stop: the stopping rule asks for MORE effort exactly when a
+        # pair is hopeless (w ~ 0 => needed ~ inf), so junk pairs would burn
+        # the full budget — and under vmap stall their whole chunk. If two
+        # stages found no support beyond the minimal sample, no model exists.
+        futile = (done >= 2 * stage_size) & (best_cnt < sample_size + 4)
         return (done.astype(jnp.float32) < jnp.minimum(
             needed, float(max_hypotheses)
-        )) & (done < max_hypotheses)
+        )) & (done < max_hypotheses) & ~futile
 
     def body(carry):
         key, F_b, inl_b, msac_b, cnt_b, done = carry
@@ -473,9 +478,12 @@ def ransac_essential_pose_adaptive(
     def cond(carry):
         (_key, done, _Fs, _inls, _msacs, _has_s, _Fl, _inll, _lsc, best_cnt) = carry
         needed = _hypotheses_needed(best_cnt, n_valid, sample_size, confidence)
+        # Futility stop (see ransac_fundamental_adaptive): junk pairs must not
+        # burn the full budget and stall their vmapped chunk.
+        futile = (done >= 2 * stage_size) & (best_cnt < sample_size + 4)
         return (done.astype(jnp.float32) < jnp.minimum(
             needed, float(max_hypotheses)
-        )) & (done < max_hypotheses)
+        )) & (done < max_hypotheses) & ~futile
 
     def body(carry):
         key, done, F_s, inl_s, msac_s, has_s, F_l, inl_l, lsc, best_cnt = carry

@@ -384,6 +384,7 @@ class SfmEngine:
         sig = repr((
             c.extractor, c.matcher, c.ransac, c.scale_factor, c.seed,
             bool(getattr(self, "_filter_all_pairs", False)),
+            bool(getattr(self, "_filter_pairs", True)),
         ))
         return hashlib.sha1(sig.encode()).hexdigest()[:16]
 
@@ -441,11 +442,17 @@ class SfmEngine:
             staged[(i1, i2)] = (p1, p2, idx1, idx2, matches.mask)
 
         # The incremental bootstrap pair (1,2) gets its robust treatment inside
-        # ransac_essential_pose; global engines filter every pair uniformly.
-        filt = [
-            key for key in staged
-            if key != (1, 2) or getattr(self, "_filter_all_pairs", False)
-        ]
+        # ransac_essential_pose. Engines whose downstream stages are themselves
+        # robust per pair (the global engine's relative-pose RANSAC re-derives
+        # inliers anyway) skip this filter entirely — it would double the
+        # pairwise RANSAC device work for nothing.
+        if not getattr(self, "_filter_pairs", True):
+            filt = []
+        else:
+            filt = [
+                key for key in staged
+                if key != (1, 2) or getattr(self, "_filter_all_pairs", False)
+            ]
         filt_inliers: Dict[Tuple[int, int], jax.Array] = {}
         if filt:
             # Fixed-size chunks over the pair axis: one compiled program for
@@ -510,10 +517,17 @@ class SfmEngine:
             # then one atomic-rename write per pair so a kill mid-write
             # never leaves a truncated entry to trip the next resume.
             new_keys = [k for k in pairs if k not in cached]
-            fetched = jax.device_get([
-                (pg.p1, pg.p2, pg.idx1, pg.idx2, pg.mask)
-                for pg in (self.pair_geometry[k] for k in new_keys)
-            ])
+            pgs = [self.pair_geometry[k] for k in new_keys]
+            # One stacked fetch per FIELD (5 arrays total) — a fetch costs a
+            # tunnel round trip per array, so per-pair fetches would dominate.
+            p1a, p2a, i1a, i2a, ma = jax.device_get((
+                jnp.stack([pg.p1 for pg in pgs]),
+                jnp.stack([pg.p2 for pg in pgs]),
+                jnp.stack([pg.idx1 for pg in pgs]),
+                jnp.stack([pg.idx2 for pg in pgs]),
+                jnp.stack([pg.mask for pg in pgs]),
+            ))
+            fetched = zip(p1a, p2a, i1a, i2a, ma)
             for k, (p1n, p2n, i1n, i2n, mn) in zip(new_keys, fetched):
                 f = self._pair_cache_file(*k)
                 tmp = f + ".tmp.npz"   # savez keeps names already ending .npz

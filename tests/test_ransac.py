@@ -155,3 +155,18 @@ def test_ransac_pose_adaptive_batch(rng):
         dR = np.asarray(res.R[i]) @ sc["R2"].T
         angle = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
         assert angle < 3.0
+
+
+def test_ransac_adaptive_futility_stop(rng):
+    """A pair with no epipolar structure must not burn the full hypothesis
+    budget: junk lanes stop after two stages (they would otherwise stall
+    every vmapped chunk they share)."""
+    from sfmfromscratch_tpu.geometry.ransac import ransac_fundamental_adaptive
+
+    p1 = _f32(rng.uniform(0, 640, (90, 2)))
+    p2 = _f32(rng.uniform(0, 480, (90, 2)))   # unrelated points
+    res = ransac_fundamental_adaptive(
+        jax.random.key(3), p1, p2,
+        max_hypotheses=6144, stage_size=512, threshold=1.0,
+    )
+    assert int(res.hyps_used) <= 1024
