@@ -20,6 +20,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from sfmfromscratch_tpu.utils.precision import mm_f32
+
 from sfmfromscratch_tpu.ba.problem import (
     BAProblem,
     jacobian_blocks,
@@ -59,6 +61,7 @@ class BAResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "cg_iters", "huber_delta"))
+@mm_f32
 def bundle_adjust(
     problem: BAProblem,
     max_iters: int = 30,

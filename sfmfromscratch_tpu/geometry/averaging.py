@@ -26,6 +26,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from sfmfromscratch_tpu.utils.precision import mm_f32
+
 
 def _project_so3(M: jax.Array) -> jax.Array:
     """Batched projection onto SO(3): argmax_R trace(R^T M) = U diag(1,1,d) V^T
@@ -38,6 +40,7 @@ def _project_so3(M: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("num_cameras", "num_iters"))
+@mm_f32
 def rotation_averaging(
     R_rel: jax.Array,        # (E, 3, 3) relative rotations R_ij = R_j R_i^T
     edge_i: jax.Array,       # (E,) int32
@@ -90,6 +93,7 @@ def rotation_averaging(
 @functools.partial(
     jax.jit, static_argnames=("num_cameras", "num_iters", "cg_iters")
 )
+@mm_f32
 def translation_averaging(
     u_dir: jax.Array,        # (E, 3) unit world directions of (c_i - c_j)
     edge_i: jax.Array,
@@ -237,6 +241,7 @@ def translation_averaging(
 
 
 @jax.jit
+@mm_f32
 def relative_translations_known_rotations(
     R_ij: jax.Array,    # (E, 3, 3) relative rotations (e.g. from averaging)
     p1: jax.Array,      # (E, N, 2) pixels in image i

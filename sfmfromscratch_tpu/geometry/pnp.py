@@ -23,6 +23,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from sfmfromscratch_tpu.utils.precision import mm_f32
+
 from sfmfromscratch_tpu.ops.lie import so3_exp, so3_log
 from sfmfromscratch_tpu.ops.smallsvd import nullvec_lstsq, nullvec_normal_eq
 from sfmfromscratch_tpu.geometry.p3p import p3p_poses
@@ -206,6 +208,7 @@ def _lm_refine(rvec0, t0, K, X, x, w, num_iters: int = 10):
     jax.jit,
     static_argnames=("num_hypotheses", "sample_size", "refine_iters", "solver"),
 )
+@mm_f32
 def pnp_ransac(
     key: jax.Array,
     points3d: jax.Array,
@@ -278,6 +281,7 @@ def pnp_ransac(
 
 
 @functools.partial(jax.jit, static_argnames=("refine_iters",))
+@mm_f32
 def pnp(
     points3d: jax.Array,
     points2d: jax.Array,

@@ -28,6 +28,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from sfmfromscratch_tpu.utils.precision import mm_f32
+
 from sfmfromscratch_tpu.geometry.epipolar import (
     eight_point_fundamental,
     epipolar_distances,
@@ -111,6 +113,7 @@ def sample_minimal_indices(
 
 
 @functools.partial(jax.jit, static_argnames=("num_hypotheses", "sample_size"))
+@mm_f32
 def ransac_fundamental(
     key: jax.Array,
     p1: jax.Array,
@@ -140,6 +143,7 @@ def ransac_fundamental(
 
 
 @functools.partial(jax.jit, static_argnames=("num_hypotheses", "sample_size"))
+@mm_f32
 def ransac_fundamental_batch(
     keys: jax.Array,
     p1: jax.Array,
@@ -164,6 +168,7 @@ def ransac_fundamental_batch(
     jax.jit,
     static_argnames=("max_hypotheses", "stage_size", "sample_size", "lo_rounds"),
 )
+@mm_f32
 def ransac_fundamental_adaptive(
     key: jax.Array,
     p1: jax.Array,
@@ -265,6 +270,7 @@ def ransac_fundamental_adaptive(
     jax.jit,
     static_argnames=("max_hypotheses", "stage_size", "sample_size", "lo_rounds"),
 )
+@mm_f32
 def ransac_fundamental_adaptive_batch(
     keys: jax.Array,
     p1: jax.Array,
@@ -296,6 +302,7 @@ def ransac_fundamental_adaptive_batch(
 @functools.partial(
     jax.jit, static_argnames=("num_hypotheses", "sample_size", "cheirality_subset")
 )
+@mm_f32
 def ransac_essential_pose(
     key: jax.Array,
     p1: jax.Array,
@@ -415,6 +422,7 @@ def ransac_essential_pose(
         "max_hypotheses", "stage_size", "sample_size", "cheirality_subset"
     ),
 )
+@mm_f32
 def ransac_essential_pose_adaptive(
     key: jax.Array,
     p1: jax.Array,
@@ -575,6 +583,7 @@ def ransac_essential_pose_adaptive(
         "max_hypotheses", "stage_size", "sample_size", "cheirality_subset"
     ),
 )
+@mm_f32
 def ransac_essential_pose_adaptive_batch(
     keys: jax.Array,
     p1: jax.Array,
@@ -608,6 +617,7 @@ def ransac_essential_pose_adaptive_batch(
     jax.jit,
     static_argnames=("num_hypotheses", "sample_size", "cheirality_subset"),
 )
+@mm_f32
 def ransac_essential_pose_batch(
     keys: jax.Array,         # (P,) PRNG keys
     p1: jax.Array,           # (P, N, 2)

@@ -26,6 +26,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from sfmfromscratch_tpu.utils.precision import mm_f32
+
 from sfmfromscratch_tpu.ops.lie import so3_exp
 
 
@@ -69,6 +71,7 @@ def _sampson_residuals(
 
 
 @functools.partial(jax.jit, static_argnames=("num_iters",))
+@mm_f32
 def refine_relative_pose(
     R0: jax.Array,      # (E, 3, 3)
     t0: jax.Array,      # (E, 3) unit

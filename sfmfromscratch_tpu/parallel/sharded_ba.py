@@ -19,6 +19,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from sfmfromscratch_tpu.utils.precision import mm_f32
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
@@ -170,7 +172,7 @@ def bundle_adjust_sharded(
         out_specs=(rep, rep, rep, rep, rep, rep, rep),
         check_vma=False,
     )
-    cam, pts, c0, c1, e0, e1, it = jax.jit(fn)(
+    cam, pts, c0, c1, e0, e1, it = jax.jit(mm_f32(fn))(
         problem.cam_params, problem.points, problem.K,
         problem.obs_cam, problem.obs_pt, problem.obs_xy, problem.obs_w,
         problem.cam_fixed,

@@ -35,6 +35,8 @@ from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
+
+from sfmfromscratch_tpu.utils.precision import mm_f32
 import numpy as np
 
 from sfmfromscratch_tpu.geometry.averaging import (
@@ -81,7 +83,7 @@ def _pad_edges(a, num_padded: int, template=0.0):
 
 
 _triangulate_multiview_jit = jax.jit(
-    triangulate_multiview, static_argnames=("num_points", "gn_iters")
+    mm_f32(triangulate_multiview), static_argnames=("num_points", "gn_iters")
 )
 
 
@@ -449,6 +451,7 @@ class GlobalSfmEngine(SfmEngine):
             parent[find(i - 1)] = find(j - 1)
         return len({find(c) for c in range(C)}) == 1
 
+    @mm_f32
     def _motion_averaging(self) -> None:
         """Absolute rotations + camera centers from the view graph (both IRLS
         solvers run fully on device; chain inits are O(E) host walks)."""
@@ -754,6 +757,7 @@ class GlobalSfmEngine(SfmEngine):
         self._obs_xy = xy
         self.stage_times["tracks"] = time.time() - t0
 
+    @mm_f32
     def _triangulate(self) -> None:
         """All tracks triangulated as one batched multiview DLT + GN program,
         then observation gating (cheirality + reprojection error) on host."""

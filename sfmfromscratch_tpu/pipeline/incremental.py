@@ -53,10 +53,12 @@ from sfmfromscratch_tpu.ops.pallas.support import pallas_tpu_available
 from sfmfromscratch_tpu.pipeline.frontend import extract_features, preprocess_image
 from sfmfromscratch_tpu.pipeline.tracks import MapStore
 from sfmfromscratch_tpu.types import Features, PairGeometry
+from sfmfromscratch_tpu.utils.precision import mm_f32
 from sfmfromscratch_tpu.io.images import load_image
 
 
 @functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+@mm_f32
 def _chain_step_device(
     key, X_known, sel, p1, p2, K2, P1,
     num_hypotheses: int, reproj_threshold, new_sel,
@@ -83,6 +85,7 @@ def _chain_step_device(
 @functools.partial(
     jax.jit, static_argnames=("num_hypotheses", "stage_size", "adaptive")
 )
+@mm_f32
 def _bootstrap_device(
     key, p1, p2, K1, K2, mask, num_hypotheses: int, threshold,
     stage_size: int = 512, adaptive: bool = False,
@@ -111,6 +114,7 @@ def _bootstrap_device(
 
 
 @functools.partial(jax.jit, static_argnames=("num_hypotheses", "max_points", "kp_capacity"))
+@mm_f32
 def _chain_scan_device(
     keys,            # (F,) PRNG keys
     p1_all,          # (F, M, 2)
