@@ -88,3 +88,45 @@ def match_ratio_test(
     confidence = jnp.where(out_mask, ratio[rows], 0.0)
     indices = jnp.where(out_mask[:, None], indices, 0)
     return MatchResult(indices=indices, confidence=confidence, mask=out_mask)
+
+
+@functools.partial(jax.jit, static_argnames=("max_matches",))
+def match_pairs_batch(
+    descriptors: jax.Array,   # (C, K, D) per-image descriptor stacks
+    kp_mask: jax.Array,       # (C, K) bool valid-keypoint masks
+    kp_xf: jax.Array,         # (C, K) subpixel x per image
+    kp_yf: jax.Array,         # (C, K) subpixel y per image
+    pair_i: jax.Array,        # (B,) int32 first image index per pair
+    pair_j: jax.Array,        # (B,) int32 second image index per pair
+    ratio_threshold: jax.Array | float = 0.8,
+    max_matches: Optional[int] = None,
+):
+    """Ratio-test matching of MANY image pairs as ONE device program.
+
+    The pipelines match hundreds of pairs per sequence; dispatching
+    ``match_ratio_test`` per pair costs a host->device round trip each
+    (~25 ms over a tunneled chip — 14 s of the 200-view run was exactly
+    this). Here the per-image features stay device-resident, each pair's
+    inputs are gathered on device from ``pair_i``/``pair_j``, and the whole
+    batch runs as one vmapped matmul + top-2 program.
+
+    Returns ``(MatchResult with (B, M, ...) leaves, p1, p2)`` where
+    ``p1[b], p2[b]`` are the (M, 2) subpixel coordinates of pair ``b``'s
+    matches (already gathered through the match indices, so downstream
+    geometry never re-gathers on host).
+    """
+    d1, d2 = descriptors[pair_i], descriptors[pair_j]
+    m1, m2 = kp_mask[pair_i], kp_mask[pair_j]
+
+    res = jax.vmap(
+        lambda a, b, ma, mb: match_ratio_test(
+            a, b, ma, mb, ratio_threshold=ratio_threshold,
+            max_matches=max_matches, use_pallas=False,
+        )
+    )(d1, d2, m1, m2)
+
+    idx1, idx2 = res.indices[..., 0], res.indices[..., 1]
+    take = lambda coord, pk, idx: jnp.take_along_axis(coord[pk], idx, axis=1)
+    p1 = jnp.stack([take(kp_xf, pair_i, idx1), take(kp_yf, pair_i, idx1)], -1)
+    p2 = jnp.stack([take(kp_xf, pair_j, idx2), take(kp_yf, pair_j, idx2)], -1)
+    return res, p1.astype(jnp.float32), p2.astype(jnp.float32)

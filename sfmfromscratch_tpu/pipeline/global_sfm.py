@@ -204,18 +204,25 @@ class GlobalSfmEngine(SfmEngine):
             [k for k in self.pair_geometry if k[0] < k[1]],
             key=lambda k: (k[1] - k[0], k[0]),   # consecutive edges first
         )
-        CHUNK = 8
+        # Big pow2 pair buckets: RANSAC cost is ~26 us per hypothesis-lane on
+        # a v5e chip and each extra dispatch costs a tunnel round trip, so a
+        # few large programs beat many small ones; pow2 bucketing keeps the
+        # compiled-program count logarithmic in sequence length.
+        CAP = 256
         if self.mesh is not None and "data" in self.mesh.shape:
-            # DP over the pair axis: each device owns CHUNK/data_n pairs.
-            CHUNK = max(CHUNK, self.mesh.shape["data"])
-        # Dispatch ALL chunks asynchronously, then ONE host fetch: each
-        # device_get over the tunneled chip costs a full round trip, so
-        # fetching inside the loop would serialize dispatch against latency.
+            # DP over the pair axis: each device owns CAP/data_n pairs.
+            CAP = max(CAP, self.mesh.shape["data"])
         pending = []
-        for c0 in range(0, len(pairs), CHUNK):
-            chunk = pairs[c0 : c0 + CHUNK]
-            pad_keys = chunk + [chunk[-1]] * (CHUNK - len(chunk))
-            keys = jax.random.split(self._next_key(), CHUNK)
+        for c0 in range(0, len(pairs), CAP):
+            chunk = pairs[c0 : c0 + CAP]
+            B = 1
+            while B < len(chunk):
+                B <<= 1
+            B = min(B, CAP)
+            if self.mesh is not None and "data" in self.mesh.shape:
+                B = max(B, self.mesh.shape["data"])
+            pad_keys = chunk + [chunk[-1]] * (B - len(chunk))
+            keys = jax.random.split(self._next_key(), B)
             pgs = [self.pair_geometry[k] for k in pad_keys]
             batch = [
                 jnp.stack([pg.p1 for pg in pgs]),
@@ -240,7 +247,7 @@ class GlobalSfmEngine(SfmEngine):
                 res = ransac_essential_pose_adaptive_batch(
                     keys, *batch,
                     max_hypotheses=self.rel_num_hypotheses,
-                    stage_size=min(256, self.rel_num_hypotheses),
+                    stage_size=min(128, self.rel_num_hypotheses),
                     threshold=self.config.ransac.epipolar_threshold,
                     confidence=self.config.ransac.prob_success,
                     min_cheirality_frac=0.75,
@@ -266,14 +273,16 @@ class GlobalSfmEngine(SfmEngine):
         )) if pending else (np.zeros((0, 3, 3)),) * 5
         self.stage_times["relpose_ransac"] = time.time() - t0
         R_list, t_list, ninl_list, che_list, inl_masks = [], [], [], [], []
-        for nc, (chunk, _) in enumerate(pending):
+        g0 = 0
+        for chunk, res in pending:
             for ci, k in enumerate(chunk):
-                g = nc * CHUNK + ci
+                g = g0 + ci
                 R_list.append(R_np[g])
                 t_list.append(t_np[g])
                 ninl_list.append(int(ninl_np[g]))
                 che_list.append(bool(che_np[g]))
                 inl_masks.append(inl_np[g])
+            g0 += res.R.shape[0]
 
         self._edges = pairs
         self._edge_R = np.stack(R_list) if pairs else np.zeros((0, 3, 3))

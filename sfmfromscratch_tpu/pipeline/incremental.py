@@ -53,8 +53,18 @@ from sfmfromscratch_tpu.ops.pallas.support import pallas_tpu_available
 from sfmfromscratch_tpu.pipeline.frontend import extract_features, preprocess_image
 from sfmfromscratch_tpu.pipeline.tracks import MapStore
 from sfmfromscratch_tpu.types import Features, PairGeometry
+from sfmfromscratch_tpu.ops.matcher import match_pairs_batch
 from sfmfromscratch_tpu.utils.precision import mm_f32
 from sfmfromscratch_tpu.io.images import load_image
+
+
+def _pow2_bucket(n: int, cap: int) -> int:
+    """Smallest power of two >= n, capped at ``cap`` (one compiled program
+    per bucket size instead of one per pair count)."""
+    b = 1
+    while b < n:
+        b <<= 1
+    return min(b, cap)
 
 
 @functools.partial(jax.jit, static_argnames=("num_hypotheses",))
@@ -396,10 +406,22 @@ class SfmEngine:
         return os.path.join(self.pair_cache_dir, f"pair_{i1}_{i2}.npz")
 
     def _match_pairs(self, feats: Dict[int, Features]) -> None:
-        """Pairwise matching + inlier filtering (STAGE A). The robust
-        inlier filters of ALL pairs run as one vmapped RANSAC program."""
+        """Pairwise matching + inlier filtering (STAGE A), fully batched.
+
+        Per-pair dispatches cost a host<->device round trip each (~25 ms on a
+        tunneled chip; 14 s of a 200-view run was per-pair matcher calls), so
+        the whole stage runs as a handful of device programs: per-image
+        features stay device-resident, each bucket of pairs is matched +
+        coordinate-gathered by ops.matcher.match_pairs_batch, the robust
+        F-RANSAC filter consumes those batch outputs directly, and ONE
+        stacked fetch per field brings the results to host numpy.
+        ``pair_geometry`` holds NUMPY arrays: downstream host bookkeeping
+        indexes them for free, and device stages re-upload them in one
+        stacked transfer per stage.
+        """
         t0 = time.time()
         mcfg = self.config.matcher
+        rcfg = self.config.ransac
         pairs = self._candidate_pairs(feats)
 
         # Resume: pairs already persisted by a previous (killed) run skip
@@ -426,113 +448,116 @@ class SfmEngine:
                     f"pair cache: resumed {len(cached)}/{len(pairs)} pairs"
                 )
 
-        staged = {}
-        for i1, i2 in pairs:
-            if (i1, i2) in cached:
-                continue
-            f1, f2 = feats[i1], feats[i2]
-            matches = match_ratio_test(
-                f1.descriptors, f2.descriptors,
-                f1.keypoints.mask, f2.keypoints.mask,
-                ratio_threshold=mcfg.ratio_threshold,
-                max_matches=mcfg.max_matches,
-                use_pallas=pallas_tpu_available(),
-            )
-            idx1 = matches.indices[:, 0]
-            idx2 = matches.indices[:, 1]
-            # Subpixel-refined coordinates feed all geometry downstream.
-            p1 = jnp.stack([f1.keypoints.xf[idx1], f1.keypoints.yf[idx1]], axis=-1)
-            p2 = jnp.stack([f2.keypoints.xf[idx2], f2.keypoints.yf[idx2]], axis=-1)
-            staged[(i1, i2)] = (p1, p2, idx1, idx2, matches.mask)
+        todo = [k for k in pairs if k not in cached]
+        filter_on = getattr(self, "_filter_pairs", True)
+        filter_all = getattr(self, "_filter_all_pairs", False)
 
-        # The incremental bootstrap pair (1,2) gets its robust treatment inside
-        # ransac_essential_pose. Engines whose downstream stages are themselves
-        # robust per pair (the global engine's relative-pose RANSAC re-derives
-        # inliers anyway) skip this filter entirely — it would double the
-        # pairwise RANSAC device work for nothing.
-        if not getattr(self, "_filter_pairs", True):
-            filt = []
-        else:
-            filt = [
-                key for key in staged
-                if key != (1, 2) or getattr(self, "_filter_all_pairs", False)
-            ]
-        filt_inliers: Dict[Tuple[int, int], jax.Array] = {}
-        if filt:
-            # Fixed-size chunks over the pair axis: one compiled program for
-            # every sequence length AND bounded HBM (the batched 8x8 SVD temps
-            # pad 8x8 -> (8,128) tiles, a 16x expansion — vmapping hundreds of
-            # pairs x 5967 hypotheses at once exhausts a 16 GB chip).
-            CHUNK = 16
-            for c0 in range(0, len(filt), CHUNK):
-                chunk = filt[c0:c0 + CHUNK]
-                pad_keys = chunk + [chunk[-1]] * (CHUNK - len(chunk))
-                keys = jax.random.split(self._next_key(), CHUNK)
-                rcfg = self.config.ransac
-                batch = (
-                    keys,
-                    jnp.stack([staged[k][0] for k in pad_keys]),
-                    jnp.stack([staged[k][1] for k in pad_keys]),
-                    jnp.stack([staged[k][4] for k in pad_keys]),
+        buckets = []     # (chunk_keys, idx, conf, mask_raw, mask_filt, p1, p2)
+        if todo:
+            C = self.max_img
+            D_all = jnp.stack([feats[i].descriptors for i in range(1, C + 1)])
+            M_all = jnp.stack([feats[i].keypoints.mask for i in range(1, C + 1)])
+            XF = jnp.stack([feats[i].keypoints.xf for i in range(1, C + 1)])
+            YF = jnp.stack([feats[i].keypoints.yf for i in range(1, C + 1)])
+            Kcap = int(D_all.shape[1])
+            # HBM guard: the batched matcher materializes (B, K, K) distances.
+            maxb = int(max(8, min(128, (384 << 20) // max(Kcap * Kcap * 4, 1))))
+            for c0 in range(0, len(todo), maxb):
+                chunk = todo[c0 : c0 + maxb]
+                B = _pow2_bucket(len(chunk), maxb)
+                pad = chunk + [chunk[-1]] * (B - len(chunk))
+                pi = jnp.asarray([k[0] - 1 for k in pad], jnp.int32)
+                pj = jnp.asarray([k[1] - 1 for k in pad], jnp.int32)
+                res, p1, p2 = match_pairs_batch(
+                    D_all, M_all, XF, YF, pi, pj,
+                    ratio_threshold=mcfg.ratio_threshold,
+                    max_matches=mcfg.max_matches,
                 )
-                if rcfg.adaptive:
-                    # Early-terminating stages: a chunk costs its worst pair's
-                    # stage count (typically 1-2 of 12) instead of the full
-                    # 5,967-hypothesis program.
-                    res = ransac_fundamental_adaptive_batch(
-                        *batch,
-                        max_hypotheses=rcfg.max_hypotheses(),
-                        stage_size=rcfg.stage_size,
-                        threshold=rcfg.epipolar_threshold,
-                        confidence=rcfg.prob_success,
-                    )
-                else:
-                    res = ransac_fundamental_batch(
-                        *batch,
-                        num_hypotheses=self._num_hyp,
-                        threshold=rcfg.epipolar_threshold,
-                    )
+                mask_filt = None
+                if filter_on:
+                    keys = jax.random.split(self._next_key(), B)
+                    if rcfg.adaptive:
+                        # Early-terminating stages: a bucket costs its worst
+                        # pair's stage count (typically 1-2 of 12) instead of
+                        # the full 5,967-hypothesis program.
+                        fres = ransac_fundamental_adaptive_batch(
+                            keys, p1, p2, res.mask,
+                            max_hypotheses=rcfg.max_hypotheses(),
+                            stage_size=rcfg.stage_size,
+                            threshold=rcfg.epipolar_threshold,
+                            confidence=rcfg.prob_success,
+                        )
+                    else:
+                        fres = ransac_fundamental_batch(
+                            keys, p1, p2, res.mask,
+                            num_hypotheses=self._num_hyp,
+                            threshold=rcfg.epipolar_threshold,
+                        )
+                    mask_filt = fres.inliers
+                buckets.append((chunk, res, mask_filt, p1, p2))
+
+        self.stage_times["matching.dispatch"] = time.time() - t0
+        t1 = time.time()
+        # ONE stacked fetch per field across all buckets (each device_get
+        # array costs a tunnel round trip).
+        results: Dict[Tuple[int, int], tuple] = {}
+        if buckets:
+            idx_np, conf_np, raw_np, p1_np, p2_np = jax.device_get((
+                jnp.concatenate([b[1].indices for b in buckets]),
+                jnp.concatenate([b[1].confidence for b in buckets]),
+                jnp.concatenate([b[1].mask for b in buckets]),
+                jnp.concatenate([b[3] for b in buckets]),
+                jnp.concatenate([b[4] for b in buckets]),
+            ))
+            if any(b[2] is not None for b in buckets):
+                filt_np = np.asarray(jax.device_get(
+                    jnp.concatenate([b[2] for b in buckets])
+                ))
+            else:
+                filt_np = None
+            g = 0
+            for chunk, res, _mf, _p1, _p2 in buckets:
+                B = res.mask.shape[0]
                 for ci, k in enumerate(chunk):
-                    filt_inliers[k] = res.inliers[ci]
+                    row = g + ci
+                    mask = raw_np[row]
+                    if filt_np is not None and (
+                        k != (1, 2) or filter_all
+                    ):
+                        mask = filt_np[row]
+                    results[k] = (
+                        np.asarray(p1_np[row], np.float32),
+                        np.asarray(p2_np[row], np.float32),
+                        np.asarray(idx_np[row, :, 0], np.int32),
+                        np.asarray(idx_np[row, :, 1], np.int32),
+                        np.asarray(mask, bool),
+                    )
+                g += B
+        self.stage_times["matching.fetch"] = time.time() - t1
+
         for key in pairs:
             i1, i2 = key
             if key in cached:
                 z = cached[key]
-                p1 = jnp.asarray(z["p1"], jnp.float32)
-                p2 = jnp.asarray(z["p2"], jnp.float32)
-                idx1 = jnp.asarray(z["idx1"], jnp.int32)
-                idx2 = jnp.asarray(z["idx2"], jnp.int32)
-                mask = jnp.asarray(z["mask"], bool)
+                p1 = np.asarray(z["p1"], np.float32)
+                p2 = np.asarray(z["p2"], np.float32)
+                idx1 = np.asarray(z["idx1"], np.int32)
+                idx2 = np.asarray(z["idx2"], np.int32)
+                mask = np.asarray(z["mask"], bool)
             else:
-                p1, p2, idx1, idx2, mask = staged[key]
-                if key != (1, 2) or getattr(self, "_filter_all_pairs", False):
-                    mask = filt_inliers.get(key, mask)
-            K1 = jnp.asarray(self._intrinsics(i1), dtype=jnp.float32)
-            K2 = jnp.asarray(self._intrinsics(i2), dtype=jnp.float32)
+                p1, p2, idx1, idx2, mask = results[key]
+            K1 = np.asarray(self._intrinsics(i1), np.float32)
+            K2 = np.asarray(self._intrinsics(i2), np.float32)
             self.pair_geometry[(i1, i2)] = PairGeometry(
                 p1=p1, p2=p2, idx1=idx1, idx2=idx2, mask=mask, K1=K1, K2=K2
             )
             self.pair_geometry[(i2, i1)] = PairGeometry(
                 p1=p2, p2=p1, idx1=idx2, idx2=idx1, mask=mask, K1=K2, K2=K1
             )
-        if self.pair_cache_dir and staged:
-            # ONE batched fetch for all newly computed pairs (per-array
-            # device_get over the tunneled chip costs a full round trip),
-            # then one atomic-rename write per pair so a kill mid-write
-            # never leaves a truncated entry to trip the next resume.
-            new_keys = [k for k in pairs if k not in cached]
-            pgs = [self.pair_geometry[k] for k in new_keys]
-            # One stacked fetch per FIELD (5 arrays total) — a fetch costs a
-            # tunnel round trip per array, so per-pair fetches would dominate.
-            p1a, p2a, i1a, i2a, ma = jax.device_get((
-                jnp.stack([pg.p1 for pg in pgs]),
-                jnp.stack([pg.p2 for pg in pgs]),
-                jnp.stack([pg.idx1 for pg in pgs]),
-                jnp.stack([pg.idx2 for pg in pgs]),
-                jnp.stack([pg.mask for pg in pgs]),
-            ))
-            fetched = zip(p1a, p2a, i1a, i2a, ma)
-            for k, (p1n, p2n, i1n, i2n, mn) in zip(new_keys, fetched):
+        if self.pair_cache_dir and results:
+            # One atomic-rename write per pair so a kill mid-write never
+            # leaves a truncated entry to trip the next resume.
+            for k, (p1n, p2n, i1n, i2n, mn) in results.items():
                 f = self._pair_cache_file(*k)
                 tmp = f + ".tmp.npz"   # savez keeps names already ending .npz
                 np.savez(tmp, tag=tag, p1=p1n, p2=p2n, idx1=i1n, idx2=i2n, mask=mn)
