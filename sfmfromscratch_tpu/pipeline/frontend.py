@@ -11,6 +11,7 @@ program; levels of a multi-image batch vmap over the leading axis.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -106,6 +107,8 @@ def preprocess_image(img: np.ndarray, scale_factor: float) -> jax.Array:
         h, w = arr.shape
         arr = resize_bilinear(arr, (int(h * scale_factor), int(w * scale_factor)))
     return arr
+
+
 
 
 @dataclasses.dataclass

@@ -165,7 +165,7 @@ class GlobalSfmEngine(SfmEngine):
 
     # ------------------------------------------------------------------ stages
 
-    def _candidate_pairs(self, feats: Dict[int, Features]):
+    def _candidate_pairs(self, feats: Features):
         pairs = set(super()._candidate_pairs(feats)) if self.pair_mode in (
             "window", "both"
         ) else set()
@@ -175,10 +175,8 @@ class GlobalSfmEngine(SfmEngine):
             # similarity ranks candidate pairs. One batched device program:
             # (C, K, 128) -> (C, 128) -> C x C matmul -> top-k.
             C = self.max_img
-            D = jnp.stack([feats[i].descriptors for i in range(1, C + 1)])
-            M = jnp.stack([
-                feats[i].keypoints.mask for i in range(1, C + 1)
-            ]).astype(D.dtype)
+            D = feats.descriptors
+            M = feats.keypoints.mask.astype(D.dtype)
             pooled = jnp.sum(D * M[..., None], axis=1)
             pooled = pooled / jnp.maximum(
                 jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-9
@@ -701,20 +699,19 @@ class GlobalSfmEngine(SfmEngine):
             lam /= max((lam[nz] * self._edge_w[nz]).sum() / wsum, 1e-9)
         return lam
 
-    def _build_tracks(self, feats: Dict[int, Features]) -> None:
+    def _build_tracks(self, feats: Features) -> None:
         """Union-find tracks over ALL pairs' inlier match edges (native C++
         path), then flat observation lists from the per-image keypoint table."""
         t0 = time.time()
         C = self.max_img
-        cap = feats[1].keypoints.capacity
+        cap = feats.keypoints.capacity
         # ONE bulk fetch of every image's (refined) keypoint coordinates.
-        kp_xy = jax.device_get({
-            i: (feats[i].keypoints.xf, feats[i].keypoints.yf)
-            for i in range(1, C + 1)
-        })
+        xf_np, yf_np = jax.device_get((feats.keypoints.xf, feats.keypoints.yf))
         self._kp_xy = {
-            i: np.stack([np.asarray(x), np.asarray(y)], axis=1).astype(np.float64)
-            for i, (x, y) in kp_xy.items()
+            i: np.stack(
+                [np.asarray(xf_np[i - 1]), np.asarray(yf_np[i - 1])], axis=1
+            ).astype(np.float64)
+            for i in range(1, C + 1)
         }
 
         # Flattened (image, keypoint) node ids, image-major.

@@ -331,32 +331,49 @@ class SfmEngine:
 
     # ------------------------------------------------------------------ stages
 
-    def _extract_all_features(self) -> Dict[int, Features]:
-        """Feature extraction, each image exactly once. Same-shape images are
-        processed as ONE batched (vmapped) device program; mixed shapes fall
-        back to per-image calls."""
-        t0 = time.time()
-        grays = []
-        for idx in range(1, self.max_img + 1):
-            img = load_image(self._image_file(idx))
-            grays.append(preprocess_image(img, self.config.scale_factor))
+    def _extract_all_features(self) -> Features:
+        """Feature extraction, each image exactly once; returns Features with
+        a leading (C,) image axis, kept device-resident (downstream stages —
+        batched matching, retrieval, track building — all consume the stacked
+        form, so per-image unstack/restack round trips never happen).
 
-        feats: Dict[int, Features] = {}
+        Same-shape images run as chunked batched programs that fuse
+        preprocessing (gray + resize) with the pyramid frontend; mixed shapes
+        fall back to per-image extraction then one stack."""
+        t0 = time.time()
+        raws = [
+            load_image(self._image_file(idx))
+            for idx in range(1, self.max_img + 1)
+        ]
+
+        stack_leaves = lambda *xs: (
+            jnp.concatenate(xs) if len(xs) > 1 else xs[0]
+        )
         if self.feature_extractor is not None:
-            for i, g in enumerate(grays):
-                feats[i + 1] = self.feature_extractor(g)
-            for idx in range(1, self.max_img + 1):
-                cap = feats[idx].keypoints.capacity
-                self._kp_tracks[idx] = np.full(cap, -1, dtype=np.int64)
-            self.stage_times["features"] = time.time() - t0
-            return feats
-        shapes = {g.shape for g in grays}
-        if len(shapes) == 1 and self.max_img > 1:
+            per = [
+                jax.tree.map(
+                    lambda a: a[None],
+                    self.feature_extractor(
+                        preprocess_image(r, self.config.scale_factor)
+                    ),
+                )
+                for r in raws
+            ]
+            feats = jax.tree.map(stack_leaves, *per)
+        elif len({r.shape for r in raws}) == 1 and self.max_img > 1:
             from sfmfromscratch_tpu.pipeline.frontend import extract_features_batch
 
+            grays = [
+                preprocess_image(r, self.config.scale_factor) for r in raws
+            ]
             # Fixed chunk size => one compiled batched program regardless of
             # sequence length (pad the last chunk by repeating its first image).
+            # NOTE: preprocessing stays a separate (eager) program rather than
+            # fusing into the extract jit: a different fusion boundary changes
+            # float reassociation enough to flip dominant-orientation ties in
+            # a few SIFT descriptors, which knife-edge scenes notice.
             CHUNK = 8
+            chunks = []
             for start in range(0, self.max_img, CHUNK):
                 chunk = grays[start : start + CHUNK]
                 pad = CHUNK - len(chunk)
@@ -367,19 +384,31 @@ class SfmEngine:
                     stacked = jax.device_put(
                         stacked, NamedSharding(self.mesh, P("data", None, None))
                     )
-                batched = extract_features_batch(stacked, self.config.extractor)
-                for i in range(len(chunk)):
-                    feats[start + i + 1] = jax.tree.map(lambda a: a[i], batched)
+                chunks.append(
+                    extract_features_batch(stacked, self.config.extractor)
+                )
+            feats = jax.tree.map(stack_leaves, *chunks)
+            if feats.descriptors.shape[0] != self.max_img:
+                feats = jax.tree.map(lambda a: a[: self.max_img], feats)
         else:
-            for i, g in enumerate(grays):
-                feats[i + 1] = extract_features(g, self.config.extractor)
+            per = [
+                jax.tree.map(
+                    lambda a: a[None],
+                    extract_features(
+                        preprocess_image(r, self.config.scale_factor),
+                        self.config.extractor,
+                    ),
+                )
+                for r in raws
+            ]
+            feats = jax.tree.map(stack_leaves, *per)
+        cap = feats.keypoints.capacity
         for idx in range(1, self.max_img + 1):
-            cap = feats[idx].keypoints.capacity
             self._kp_tracks[idx] = np.full(cap, -1, dtype=np.int64)
         self.stage_times["features"] = time.time() - t0
         return feats
 
-    def _candidate_pairs(self, feats: Dict[int, Features]):
+    def _candidate_pairs(self, feats: Features):
         """Image pairs to match: the sequential window (reference
         Runner.py:183-184 is the w=1 case). Engines for unordered collections
         override this (e.g. retrieval-based selection in GlobalSfmEngine)."""
@@ -405,7 +434,7 @@ class SfmEngine:
     def _pair_cache_file(self, i1: int, i2: int) -> str:
         return os.path.join(self.pair_cache_dir, f"pair_{i1}_{i2}.npz")
 
-    def _match_pairs(self, feats: Dict[int, Features]) -> None:
+    def _match_pairs(self, feats: Features) -> None:
         """Pairwise matching + inlier filtering (STAGE A), fully batched.
 
         Per-pair dispatches cost a host<->device round trip each (~25 ms on a
@@ -454,11 +483,10 @@ class SfmEngine:
 
         buckets = []     # (chunk_keys, idx, conf, mask_raw, mask_filt, p1, p2)
         if todo:
-            C = self.max_img
-            D_all = jnp.stack([feats[i].descriptors for i in range(1, C + 1)])
-            M_all = jnp.stack([feats[i].keypoints.mask for i in range(1, C + 1)])
-            XF = jnp.stack([feats[i].keypoints.xf for i in range(1, C + 1)])
-            YF = jnp.stack([feats[i].keypoints.yf for i in range(1, C + 1)])
+            D_all = feats.descriptors
+            M_all = feats.keypoints.mask
+            XF = feats.keypoints.xf
+            YF = feats.keypoints.yf
             Kcap = int(D_all.shape[1])
             # HBM guard: the batched matcher materializes (B, K, K) distances.
             maxb = int(max(8, min(128, (384 << 20) // max(Kcap * Kcap * 4, 1))))
