@@ -219,3 +219,28 @@ def test_pair_cache_restartable_matching(rendered, tmp_path):
                    single_K=rendered["K"], output_dir=str(tmp_path / "o4"),
                    pair_cache_dir=cache, pair_window=2)
     assert not any("resumed" in w for w in e4.warnings)
+
+
+def test_engine_mixed_image_shapes(tmp_path):
+    """Images of different resolutions take the per-image extraction fallback
+    (no batched frontend) yet still produce one stacked Features pytree and a
+    working reconstruction: the fixed keypoint capacity makes per-image
+    features stackable regardless of source image shape."""
+    from PIL import Image
+
+    rng = np.random.default_rng(9)
+    images, K, poses, X = render_sequence(rng, num_views=4, num_points=110)
+    d = tmp_path / "seq"
+    d.mkdir()
+    for i, im in enumerate(images, start=1):
+        arr = (np.clip(im, 0, 1) * 255).astype(np.uint8)
+        if i == 2:  # one image at a different resolution: pad bottom-right so
+            # existing pixel coordinates (and K) stay valid
+            arr = np.pad(arr, ((0, 16), (0, 16)), mode="edge")
+        Image.fromarray(arr).save(str(d / f"{i}.jpg"), quality=97)
+
+    eng = SfmEngine(str(d), 4, config=_small_config(), single_K=K,
+                    output_dir=str(tmp_path / "out"))
+    assert eng.map.num_tracks > 30
+    assert len(eng.global_poses) == 3
+    assert eng.errors_before_after_ba[1] < 3.0
