@@ -43,6 +43,27 @@ def make_mesh(
     return Mesh(arr, axis_names)
 
 
+def put_global(arr, mesh: Mesh, spec) -> jax.Array:
+    """Place a host array as a global ``jax.Array`` sharded by ``spec`` over
+    ``mesh`` — including meshes that span multiple processes.
+
+    Single-process this is a plain ``device_put``. Multi-process, every
+    process must hold the identical full host array (the engine computes its
+    host-side state redundantly per process, SPMD-style); each process then
+    contributes exactly the shards it addresses, which is the contract
+    ``jax.make_array_from_callback`` implements.
+    """
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    host = np.asarray(arr)
+    return jax.make_array_from_callback(
+        host.shape, sharding, lambda idx: host[idx]
+    )
+
+
 def init_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,

@@ -172,11 +172,20 @@ def bundle_adjust_sharded(
         out_specs=(rep, rep, rep, rep, rep, rep, rep),
         check_vma=False,
     )
-    cam, pts, c0, c1, e0, e1, it = jax.jit(mm_f32(fn))(
+    args = (
         problem.cam_params, problem.points, problem.K,
         problem.obs_cam, problem.obs_pt, problem.obs_xy, problem.obs_w,
         problem.cam_fixed,
     )
+    if jax.process_count() > 1:
+        # Multi-host: jit over a multi-process mesh needs GLOBAL input arrays;
+        # every process holds the full problem (built redundantly, SPMD-style)
+        # and contributes the shards it addresses.
+        from sfmfromscratch_tpu.parallel.mesh import put_global
+
+        specs = (rep, rep, rep, obs_spec, obs_spec, obs_spec, obs_spec, rep)
+        args = tuple(put_global(a, mesh, s) for a, s in zip(args, specs))
+    cam, pts, c0, c1, e0, e1, it = jax.jit(mm_f32(fn))(*args)
     return BAResult(
         cam_params=cam, points=pts, initial_cost=c0, final_cost=c1,
         initial_mean_error=e0, final_mean_error=e1, iterations_used=it,

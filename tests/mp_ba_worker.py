@@ -1,0 +1,66 @@
+"""Worker for the REAL multi-process distributed-BA test (one OS process per
+"host"). Spawned by tests/test_multiprocess.py — not collected by pytest.
+
+Each process brings up jax.distributed over a TCP coordinator, exposes 4
+virtual CPU devices (8 global across 2 processes), builds the SAME synthetic
+BA problem redundantly (SPMD contract), and runs bundle_adjust_sharded over
+the global mesh — the collectives cross the process boundary through Gloo,
+the CPU stand-in for the ICI/DCN path a TPU pod slice uses (SURVEY.md §5.8).
+Rank 0 writes a JSON verdict comparing against the single-device LM solver.
+"""
+
+import json
+import os
+import sys
+
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+port = sys.argv[3]
+outfile = sys.argv[4]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from sfmfromscratch_tpu.parallel.mesh import init_distributed
+
+init_distributed(f"127.0.0.1:{port}", num_processes=nproc, process_id=pid)
+
+import numpy as np
+from jax.sharding import Mesh
+
+from sfmfromscratch_tpu.ba.lm import bundle_adjust
+from sfmfromscratch_tpu.parallel.sharded_ba import bundle_adjust_sharded
+from tests.test_ba import _multi_view_problem
+
+assert jax.process_count() == nproc
+assert len(jax.devices()) == 4 * nproc, jax.devices()
+
+rng = np.random.default_rng(0)
+problem, _, _ = _multi_view_problem(
+    rng, num_cams=5, num_pts=80, perturb=0.02, noise=0.3
+)
+
+mesh = Mesh(np.array(jax.devices()).reshape(len(jax.devices())), ("data",))
+res = bundle_adjust_sharded(problem, mesh, max_iters=12, cg_iters=40, ftol=1e-8)
+
+# Single-device reference, computed per process on its own local devices.
+ref = bundle_adjust(problem, max_iters=12, cg_iters=40, ftol=1e-8)
+
+verdict = {
+    "processes": jax.process_count(),
+    "global_devices": len(jax.devices()),
+    "err0_sharded": float(res.initial_mean_error),
+    "err1_sharded": float(res.final_mean_error),
+    "err1_single": float(ref.final_mean_error),
+    "cam_maxdiff": float(
+        np.abs(np.asarray(res.cam_params) - np.asarray(ref.cam_params)).max()
+    ),
+}
+if pid == 0:
+    with open(outfile, "w") as f:
+        json.dump(verdict, f)
+print(f"proc {pid}: {verdict}", flush=True)
