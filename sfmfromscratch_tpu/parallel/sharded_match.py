@@ -78,5 +78,13 @@ def tp_match_ratio_test(
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    indices, confidence, mask = jax.jit(fn)(d1, mask1, d2, mask2)
+    args = (d1, mask1, d2, mask2)
+    if jax.process_count() > 1:
+        # Multi-host: lift to global arrays (each process holds the full
+        # inputs and contributes its addressable shards).
+        from sfmfromscratch_tpu.parallel.mesh import put_global
+
+        specs = (P(), P(), P(axis, None), P(axis))
+        args = tuple(put_global(a, mesh, s) for a, s in zip(args, specs))
+    indices, confidence, mask = jax.jit(fn)(*args)
     return MatchResult(indices=indices, confidence=confidence, mask=mask)

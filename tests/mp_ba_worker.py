@@ -50,9 +50,32 @@ res = bundle_adjust_sharded(problem, mesh, max_iters=12, cg_iters=40, ftol=1e-8)
 # Single-device reference, computed per process on its own local devices.
 ref = bundle_adjust(problem, max_iters=12, cg_iters=40, ftol=1e-8)
 
+# Tensor-parallel matching across the process boundary: the descriptor
+# database shards over all 8 global devices (4 per process); the top-2 merge's
+# all_gather crosses processes.
+import jax.numpy as jnp
+
+from sfmfromscratch_tpu.ops.matcher import match_ratio_test
+from sfmfromscratch_tpu.parallel.sharded_match import tp_match_ratio_test
+
+rng2 = np.random.default_rng(1)
+d1 = jnp.asarray(rng2.uniform(0, 1, (96, 128)), jnp.float32)
+d2 = jnp.asarray(rng2.uniform(0, 1, (128, 128)), jnp.float32)
+m1 = jnp.asarray(rng2.uniform(size=96) > 0.1)
+m2 = jnp.asarray(rng2.uniform(size=128) > 0.1)
+mesh_m = Mesh(np.array(jax.devices()).reshape(len(jax.devices())), ("model",))
+got = tp_match_ratio_test(mesh_m, d1, d2, m1, m2, ratio_threshold=0.85)
+refm = match_ratio_test(d1, d2, m1, m2, ratio_threshold=0.85, max_matches=96)
+n_got = int(np.asarray(got.mask).sum())
+n_ref = int(np.asarray(refm.mask).sum())
+match_sets_equal = {tuple(r) for r in np.asarray(got.indices)[:n_got]} == {
+    tuple(r) for r in np.asarray(refm.indices)[:n_ref]
+}
+
 verdict = {
     "processes": jax.process_count(),
     "global_devices": len(jax.devices()),
+    "tp_match_equal": bool(match_sets_equal and n_got == n_ref),
     "err0_sharded": float(res.initial_mean_error),
     "err1_sharded": float(res.final_mean_error),
     "err1_single": float(ref.final_mean_error),

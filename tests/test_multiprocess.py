@@ -49,6 +49,8 @@ def test_two_process_distributed_ba(tmp_path):
     v = json.loads(out.read_text())
     assert v["processes"] == 2
     assert v["global_devices"] == 8
+    # TP matching across the process boundary equals the single-device matcher.
+    assert v["tp_match_equal"]
     # Sharded solve converges and agrees with the single-device LM.
     assert v["err1_sharded"] < 0.5
     assert abs(v["err1_sharded"] - v["err1_single"]) < 0.05
