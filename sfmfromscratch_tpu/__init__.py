@@ -20,39 +20,39 @@ import os as _os
 # Persistent XLA compilation cache: frontend/RANSAC/BA programs take minutes
 # to compile over the tunneled TPU; caching them across processes turns every
 # run after the first into a warm start. Opt out with SFM_TPU_COMPILE_CACHE=0.
+#
+# TPU-requested processes ONLY. A cached CPU entry is AOT machine code for the
+# *compiling* host's CPU; executing it on a CPU without those instruction-set
+# extensions SIGILLs mid-program, and the loader only warns. CPU-identity
+# fingerprints in the path do not make this safe either: under VMs (this
+# environment is a Firecracker guest) /proc/cpuinfo is templated identically
+# across physical hosts while LLVM's CPUID-based host detection — what XLA
+# actually compiles for — sees the real silicon. Observed here as a crash in
+# xla::cpu::ThunkExecutor after the AOT feature-mismatch warning. TPU
+# executables target the accelerator, not the host, so they stay portable.
 if _os.environ.get("SFM_TPU_COMPILE_CACHE", "1") != "0":
     import jax as _jax
 
-    def _machine_tag() -> str:
-        # Scope the default cache dir by CPU identity: XLA's CPU backend AOT
-        # result embeds machine features, and loading an entry compiled on a
-        # different host silently changes instruction selection (and can
-        # SIGILL) — the loader only warns. A features fingerprint in the path
-        # makes foreign entries invisible instead.
+    def _tpu_requested() -> bool:
+        plats = _os.environ.get("JAX_PLATFORMS", "")
         try:
-            with open("/proc/cpuinfo") as f:
-                for line in f:
-                    if line.startswith("flags"):
-                        import hashlib
-
-                        return hashlib.sha1(line.encode()).hexdigest()[:12]
-        except OSError:
+            plats = _jax.config.jax_platforms or plats
+        except AttributeError:  # pragma: no cover - very old jax
             pass
-        import platform
+        return any(p in (plats or "").lower() for p in ("tpu", "axon"))
 
-        return platform.machine() or "unknown"
-
-    _cache_dir = _os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        _os.path.expanduser(f"~/.cache/sfmfromscratch_tpu/xla-{_machine_tag()}"),
-    )
-    try:
-        _os.makedirs(_cache_dir, exist_ok=True)
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:  # pragma: no cover - cache is best-effort
-        pass
+    if _tpu_requested():
+        _cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser("~/.cache/sfmfromscratch_tpu/xla-tpu"),
+        )
+        try:
+            _os.makedirs(_cache_dir, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        except Exception:  # pragma: no cover - cache is best-effort
+            pass
 
 from sfmfromscratch_tpu.geometry.camera import (
     SensorType,

@@ -291,6 +291,12 @@ class SfmEngine:
         # STAGE A at the first uncomputed pair instead of from scratch. Shard
         # -safe: each pair is its own file, keyed by a config fingerprint.
         self.pair_cache_dir = pair_cache_dir
+        # Host-sharded match graph (north star: "sharding the pairwise
+        # matching graph across hosts"): (shard, num_shards) restricts THIS
+        # process to every num_shards-th candidate pair; combined with
+        # pair_cache_dir, N hosts each persist their shard and any later run
+        # resumes with the full graph (see match_graph_shard()).
+        self._pair_shard: Optional[Tuple[int, int]] = None
         self._track_seen_frame: np.ndarray = np.full(0, -1, dtype=np.int64)
         self.warnings: List[str] = []
 
@@ -452,6 +458,9 @@ class SfmEngine:
         mcfg = self.config.matcher
         rcfg = self.config.ransac
         pairs = self._candidate_pairs(feats)
+        if self._pair_shard is not None:
+            s, n = self._pair_shard
+            pairs = [k for e, k in enumerate(sorted(pairs)) if e % n == s]
 
         # Resume: pairs already persisted by a previous (killed) run skip
         # matching AND filtering. The RNG stream the filter consumes depends
@@ -1017,6 +1026,38 @@ class SfmEngine:
             errors_ba=np.array(self.errors_before_after_ba),
         )
         return path
+
+    @classmethod
+    def match_graph_shard(
+        cls,
+        img_path: str,
+        max_img: int,
+        shard: int,
+        num_shards: int,
+        pair_cache_dir: str,
+        **kwargs,
+    ) -> int:
+        """Compute and persist THIS host's shard of the pairwise match graph.
+
+        The north star's "sharding the pairwise matching graph across hosts":
+        N hosts each call this with their ``shard`` index and a shared
+        ``pair_cache_dir``; every num_shards-th candidate pair (deterministic
+        round-robin over the sorted pair list) is matched, inlier-filtered and
+        persisted. Any later engine run with the same configuration and
+        ``pair_cache_dir`` resumes with the full graph — the expensive O(pairs)
+        stage parallelizes across hosts with no coordinator (the filesystem is
+        the join point, one atomic file per pair). Returns the number of pairs
+        this shard computed. Works on any engine class (GlobalSfmEngine's
+        retrieval-proposed pairs shard the same way).
+        """
+        eng = cls(
+            img_path, max_img, pair_cache_dir=pair_cache_dir,
+            auto_run=False, **kwargs,
+        )
+        eng._pair_shard = (shard, num_shards)
+        feats = eng._extract_all_features()
+        eng._match_pairs(feats)
+        return sum(1 for k in eng.pair_geometry if k[0] < k[1])
 
     @staticmethod
     def load(model_name: str, output_dir: str = "output", show: bool = True):

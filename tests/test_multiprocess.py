@@ -55,3 +55,45 @@ def test_two_process_distributed_ba(tmp_path):
     assert v["err1_sharded"] < 0.5
     assert abs(v["err1_sharded"] - v["err1_single"]) < 0.05
     assert v["cam_maxdiff"] < 5e-3
+
+
+def test_host_sharded_match_graph(tmp_path):
+    """Two processes each compute HALF the match graph into a shared pair
+    cache (no coordinator — one atomic file per pair); a subsequent engine run
+    resumes with the complete graph and reconstructs without re-matching."""
+    import numpy as np
+
+    from tests.render import render_sequence, write_sequence
+    from tests.test_pipeline import _small_config
+    from sfmfromscratch_tpu.pipeline.incremental import SfmEngine
+
+    rng = np.random.default_rng(42)
+    images, K, poses, X = render_sequence(rng, num_views=4, num_points=110)
+    d = tmp_path / "seq"
+    d.mkdir()
+    write_sequence(str(d), images)
+    np.save(str(d / "K.npy"), K)
+    cache = str(tmp_path / "paircache")
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    worker = os.path.join(REPO, "tests", "mp_match_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(d), cache, "4"],
+            env=env, cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    assert [p.wait(timeout=600) for p in procs] == [0, 0]
+
+    n_pairs = 3 + 2  # window=2 over 4 images: (1,2)(2,3)(3,4)(1,3)(2,4)
+    assert len(os.listdir(cache)) == n_pairs
+
+    eng = SfmEngine(str(d), 4, config=_small_config(), single_K=K,
+                    output_dir=str(tmp_path / "out"), pair_cache_dir=cache,
+                    pair_window=2)
+    assert any(f"resumed {n_pairs}/{n_pairs}" in w for w in eng.warnings)
+    assert eng.errors_before_after_ba[1] < 3.0
