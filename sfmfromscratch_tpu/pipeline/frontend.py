@@ -47,6 +47,7 @@ def extract_features_single_scale(
     desc = sift_descriptors(
         image_bw, kps.x, kps.y, kps.mask, feature_width=fw,
         rotation_invariant=rotation_invariant,
+        use_pallas=pallas_tpu_available(),
     )
     return Features(keypoints=kps, descriptors=desc)
 
