@@ -222,12 +222,15 @@ class GlobalSfmEngine(SfmEngine):
             pad_keys = chunk + [chunk[-1]] * (B - len(chunk))
             keys = jax.random.split(self._next_key(), B)
             pgs = [self.pair_geometry[k] for k in pad_keys]
+            # ONE host-side stack + ONE device transfer per field: stacking
+            # jnp-converted elements would device_put every pair separately
+            # (hundreds of tunnel round trips per chunk).
             batch = [
-                jnp.stack([pg.p1 for pg in pgs]),
-                jnp.stack([pg.p2 for pg in pgs]),
-                jnp.stack([pg.K1 for pg in pgs]),
-                jnp.stack([pg.K2 for pg in pgs]),
-                jnp.stack([pg.mask for pg in pgs]),
+                jnp.asarray(np.stack([pg.p1 for pg in pgs])),
+                jnp.asarray(np.stack([pg.p2 for pg in pgs])),
+                jnp.asarray(np.stack([pg.K1 for pg in pgs])),
+                jnp.asarray(np.stack([pg.K2 for pg in pgs])),
+                jnp.asarray(np.stack([pg.mask for pg in pgs])),
             ]
             if self.mesh is not None and "data" in self.mesh.shape:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -303,10 +306,10 @@ class GlobalSfmEngine(SfmEngine):
                 _pad_edges(jnp.asarray(self._edge_R, jnp.float32), Eb, eye),
                 _pad_edges(jnp.asarray(self._edge_t, jnp.float32), Eb,
                            np.asarray([0, 0, 1], np.float32)),
-                _pad_edges(jnp.stack([pg.p1 for pg in pgs_all]), Eb),
-                _pad_edges(jnp.stack([pg.p2 for pg in pgs_all]), Eb),
-                _pad_edges(jnp.stack([pg.K1 for pg in pgs_all]), Eb, eye),
-                _pad_edges(jnp.stack([pg.K2 for pg in pgs_all]), Eb, eye),
+                _pad_edges(jnp.asarray(np.stack([pg.p1 for pg in pgs_all])), Eb),
+                _pad_edges(jnp.asarray(np.stack([pg.p2 for pg in pgs_all])), Eb),
+                _pad_edges(jnp.asarray(np.stack([pg.K1 for pg in pgs_all])), Eb, eye),
+                _pad_edges(jnp.asarray(np.stack([pg.K2 for pg in pgs_all])), Eb, eye),
                 _pad_edges(jnp.stack(inl_masks).astype(jnp.float32), Eb),
             )
             self._edge_R, self._edge_t, rms_np = jax.device_get(
@@ -561,12 +564,12 @@ class GlobalSfmEngine(SfmEngine):
         if E:
             R_ij_avg = R[ej_j] @ jnp.swapaxes(R[ei_j], -1, -2)   # (Eb, 3, 3)
             pgs = [self.pair_geometry[k] for k in self._edges]
-            p1s = _pad_edges(jnp.stack([pg.p1 for pg in pgs]), Eb)
-            p2s = _pad_edges(jnp.stack([pg.p2 for pg in pgs]), Eb)
-            K1s = _pad_edges(jnp.stack([pg.K1 for pg in pgs]), Eb, eye)
-            K2s = _pad_edges(jnp.stack([pg.K2 for pg in pgs]), Eb, eye)
+            p1s = _pad_edges(jnp.asarray(np.stack([pg.p1 for pg in pgs])), Eb)
+            p2s = _pad_edges(jnp.asarray(np.stack([pg.p2 for pg in pgs])), Eb)
+            K1s = _pad_edges(jnp.asarray(np.stack([pg.K1 for pg in pgs])), Eb, eye)
+            K2s = _pad_edges(jnp.asarray(np.stack([pg.K2 for pg in pgs])), Eb, eye)
             inls = _pad_edges(
-                jnp.stack([jnp.asarray(self._edge_inl[k]) for k in self._edges]),
+                jnp.asarray(np.stack([self._edge_inl[k] for k in self._edges])),
                 Eb, False,
             )
             t_new, conf = relative_translations_known_rotations(

@@ -942,12 +942,14 @@ class SfmEngine:
         Fp = ((F + 7) // 8) * 8
         pad = Fp - F
         pairs_p = pairs + [pairs[-1]] * pad
-        p1_all = jnp.stack([pg.p1 for pg in pairs_p])
-        p2_all = jnp.stack([pg.p2 for pg in pairs_p])
-        idx1_all = jnp.stack([pg.idx1 for pg in pairs_p]).astype(jnp.int32)
-        idx2_all = jnp.stack([pg.idx2 for pg in pairs_p]).astype(jnp.int32)
-        mask_all = jnp.stack([pg.mask for pg in pairs_p])
-        K2_all = jnp.stack([pg.K2 for pg in pairs_p])
+        # ONE host-side stack + ONE device transfer per field (stacking
+        # jnp-converted elements would device_put every pair separately).
+        p1_all = jnp.asarray(np.stack([pg.p1 for pg in pairs_p]))
+        p2_all = jnp.asarray(np.stack([pg.p2 for pg in pairs_p]))
+        idx1_all = jnp.asarray(np.stack([pg.idx1 for pg in pairs_p]).astype(np.int32))
+        idx2_all = jnp.asarray(np.stack([pg.idx2 for pg in pairs_p]).astype(np.int32))
+        mask_all = jnp.asarray(np.stack([pg.mask for pg in pairs_p]))
+        K2_all = jnp.asarray(np.stack([pg.K2 for pg in pairs_p]))
         frame_valid = jnp.arange(Fp) < F
         keys = jax.random.split(self._next_key(), Fp)
 
