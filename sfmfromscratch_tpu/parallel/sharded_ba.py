@@ -165,10 +165,11 @@ def bundle_adjust_sharded(
         err1 = mean_err(cam, pts)
         return cam, pts, cost0, cost, err0, err1, it
 
+    in_specs = (rep, rep, rep, obs_spec, obs_spec, obs_spec, obs_spec, rep)
     fn = shard_map(
         lm_program,
         mesh=mesh,
-        in_specs=(rep, rep, rep, obs_spec, obs_spec, obs_spec, obs_spec, rep),
+        in_specs=in_specs,
         out_specs=(rep, rep, rep, rep, rep, rep, rep),
         check_vma=False,
     )
@@ -183,8 +184,7 @@ def bundle_adjust_sharded(
         # and contributes the shards it addresses.
         from sfmfromscratch_tpu.parallel.mesh import put_global
 
-        specs = (rep, rep, rep, obs_spec, obs_spec, obs_spec, obs_spec, rep)
-        args = tuple(put_global(a, mesh, s) for a, s in zip(args, specs))
+        args = tuple(put_global(a, mesh, s) for a, s in zip(args, in_specs))
     cam, pts, c0, c1, e0, e1, it = jax.jit(mm_f32(fn))(*args)
     return BAResult(
         cam_params=cam, points=pts, initial_cost=c0, final_cost=c1,

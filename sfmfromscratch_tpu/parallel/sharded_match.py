@@ -71,10 +71,11 @@ def tp_match_ratio_test(
         indices = jnp.where(out_mask[:, None], indices, 0)
         return indices, confidence, out_mask
 
+    in_specs = (P(), P(), P(axis, None), P(axis))
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis, None), P(axis)),
+        in_specs=in_specs,
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
@@ -84,7 +85,6 @@ def tp_match_ratio_test(
         # inputs and contributes its addressable shards).
         from sfmfromscratch_tpu.parallel.mesh import put_global
 
-        specs = (P(), P(), P(axis, None), P(axis))
-        args = tuple(put_global(a, mesh, s) for a, s in zip(args, specs))
+        args = tuple(put_global(a, mesh, s) for a, s in zip(args, in_specs))
     indices, confidence, mask = jax.jit(fn)(*args)
     return MatchResult(indices=indices, confidence=confidence, mask=mask)

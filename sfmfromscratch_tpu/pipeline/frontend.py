@@ -11,7 +11,6 @@ program; levels of a multi-image batch vmap over the leading axis.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -110,8 +109,6 @@ def preprocess_image(img: np.ndarray, scale_factor: float) -> jax.Array:
     return arr
 
 
-
-
 @dataclasses.dataclass
 class FeatureRunner:
     """Two-view feature pipeline: load -> resize -> gray -> extract -> match
@@ -134,7 +131,9 @@ class FeatureRunner:
         scale_factor: float = 0.5,
     ) -> "FeatureRunner":
         from sfmfromscratch_tpu.io.images import load_image
+        from sfmfromscratch_tpu.utils.cache import maybe_enable_compile_cache
 
+        maybe_enable_compile_cache()   # no-op unless the backend is a TPU
         if isinstance(im1, str):
             im1 = load_image(im1)
         if isinstance(im2, str):

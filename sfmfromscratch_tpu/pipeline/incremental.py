@@ -309,6 +309,9 @@ class SfmEngine:
         self.errors_before_after_ba: Tuple[float, float] = (np.nan, np.nan)
         self.stage_times: Dict[str, float] = {}
 
+        from sfmfromscratch_tpu.utils.cache import maybe_enable_compile_cache
+
+        maybe_enable_compile_cache()   # no-op unless the backend is a TPU
         self._rng_key = jax.random.key(self.config.seed)
         self._num_hyp = self.config.ransac.num_iterations()
         self._pnp_hyp = self.config.ransac.pnp_num_iterations()
@@ -347,31 +350,35 @@ class SfmEngine:
         preprocessing (gray + resize) with the pyramid frontend; mixed shapes
         fall back to per-image extraction then one stack."""
         t0 = time.time()
-        raws = [
-            load_image(self._image_file(idx))
-            for idx in range(1, self.max_img + 1)
-        ]
+        # Batchability is decided from image HEADERS (PIL reads size without
+        # decoding): raw frames stream one chunk at a time instead of pinning
+        # the whole collection's decoded pixels on the host, and equal
+        # resolutions batch together regardless of storage mode (an RGB and a
+        # grayscale file of the same size preprocess to the same gray shape).
+        from PIL import Image as _Image
+
+        sizes = set()
+        for idx in range(1, self.max_img + 1):
+            with _Image.open(self._image_file(idx)) as im:
+                sizes.add(im.size)
+
+        def _gray(idx: int) -> jax.Array:
+            return preprocess_image(
+                load_image(self._image_file(idx)), self.config.scale_factor
+            )
 
         stack_leaves = lambda *xs: (
             jnp.concatenate(xs) if len(xs) > 1 else xs[0]
         )
         if self.feature_extractor is not None:
             per = [
-                jax.tree.map(
-                    lambda a: a[None],
-                    self.feature_extractor(
-                        preprocess_image(r, self.config.scale_factor)
-                    ),
-                )
-                for r in raws
+                jax.tree.map(lambda a: a[None], self.feature_extractor(_gray(i)))
+                for i in range(1, self.max_img + 1)
             ]
             feats = jax.tree.map(stack_leaves, *per)
-        elif len({r.shape for r in raws}) == 1 and self.max_img > 1:
+        elif len(sizes) == 1 and self.max_img > 1:
             from sfmfromscratch_tpu.pipeline.frontend import extract_features_batch
 
-            grays = [
-                preprocess_image(r, self.config.scale_factor) for r in raws
-            ]
             # Fixed chunk size => one compiled batched program regardless of
             # sequence length (pad the last chunk by repeating its first image).
             # NOTE: preprocessing stays a separate (eager) program rather than
@@ -381,7 +388,10 @@ class SfmEngine:
             CHUNK = 8
             chunks = []
             for start in range(0, self.max_img, CHUNK):
-                chunk = grays[start : start + CHUNK]
+                chunk = [
+                    _gray(i)
+                    for i in range(start + 1, min(start + CHUNK, self.max_img) + 1)
+                ]
                 pad = CHUNK - len(chunk)
                 stacked = jnp.stack(chunk + [chunk[0]] * pad)
                 if self.mesh is not None and "data" in self.mesh.shape:
@@ -400,12 +410,9 @@ class SfmEngine:
             per = [
                 jax.tree.map(
                     lambda a: a[None],
-                    extract_features(
-                        preprocess_image(r, self.config.scale_factor),
-                        self.config.extractor,
-                    ),
+                    extract_features(_gray(i), self.config.extractor),
                 )
-                for r in raws
+                for i in range(1, self.max_img + 1)
             ]
             feats = jax.tree.map(stack_leaves, *per)
         cap = feats.keypoints.capacity
@@ -487,6 +494,7 @@ class SfmEngine:
                 )
 
         todo = [k for k in pairs if k not in cached]
+        self._last_match_computed = len(todo)
         filter_on = getattr(self, "_filter_pairs", True)
         filter_all = getattr(self, "_filter_all_pairs", False)
 
@@ -1049,7 +1057,8 @@ class SfmEngine:
         ``pair_cache_dir`` resumes with the full graph — the expensive O(pairs)
         stage parallelizes across hosts with no coordinator (the filesystem is
         the join point, one atomic file per pair). Returns the number of pairs
-        this shard computed. Works on any engine class (GlobalSfmEngine's
+        this run actually computed (0 when the shard was already complete in
+        the cache). Works on any engine class (GlobalSfmEngine's
         retrieval-proposed pairs shard the same way).
         """
         eng = cls(
@@ -1059,7 +1068,8 @@ class SfmEngine:
         eng._pair_shard = (shard, num_shards)
         feats = eng._extract_all_features()
         eng._match_pairs(feats)
-        return sum(1 for k in eng.pair_geometry if k[0] < k[1])
+        # Pairs actually matched by THIS run (cache-resumed pairs excluded).
+        return eng._last_match_computed
 
     @staticmethod
     def load(model_name: str, output_dir: str = "output", show: bool = True):
