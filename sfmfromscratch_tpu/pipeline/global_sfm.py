@@ -43,6 +43,7 @@ from sfmfromscratch_tpu.geometry.averaging import (
     chain_initial_centers,
     chain_initial_rotations,
     relative_translations_known_rotations,
+    chordal_rotation_init,
     rotation_averaging,
     translation_averaging,
 )
@@ -508,6 +509,17 @@ class GlobalSfmEngine(SfmEngine):
         R0 = chain_initial_rotations(
             jnp.asarray(self._edge_R[nz], jnp.float32),
             jnp.asarray(ei[nz]), jnp.asarray(ej[nz]), C,
+        )
+        # Global chordal solve on top of the chain walk: the Jacobi IRLS
+        # sweeps below only propagate corrections one hop per sweep, so on
+        # large-diameter graphs (hundreds of views) the chain init's
+        # accumulated drift would survive them (measured: 9.3 deg median at
+        # C=1000 still 1.6 deg after 2048 sweeps; chordal CG reaches the
+        # linear-optimum 1.5 deg in under a second). CG cost scales with
+        # sqrt(condition); cap iterations generously — it early-exits on tol.
+        R0 = chordal_rotation_init(
+            R_rel, ei_j, ej_j, R0, edge_w=w_j,
+            num_cameras=C, cg_iters=min(max(128, 2 * C), 4096),
         )
 
         # Average -> reject -> re-average. An edge whose relative rotation

@@ -171,3 +171,62 @@ def test_triangulate_multiview_weights_disable(rng):
     )
     np.testing.assert_allclose(np.asarray(Xr)[0], X[0], atol=1e-2)
     assert int(np.asarray(nobs)[0]) == 2
+
+
+def test_chordal_init_large_diameter_graph():
+    """The chordal CG solve must absorb spanning-chain drift that Jacobi
+    sweeps cannot reach on a large-diameter view graph (C=400 near-chain):
+    the whole reason it exists (see geometry/averaging.py docstring)."""
+    from scipy.spatial.transform import Rotation
+
+    from sfmfromscratch_tpu.geometry.averaging import (
+        chain_initial_rotations,
+        chordal_rotation_init,
+    )
+
+    rng = np.random.default_rng(0)
+    C = 400
+    # ground truth: smooth orbit rotations
+    Rs = [
+        Rotation.from_rotvec([0.0, np.radians(0.9) * i, 0.0]).as_matrix()
+        for i in range(C)
+    ]
+    ei, ej = [], []
+    for i in range(C):
+        for d in (1, 2):
+            if i + d < C:
+                ei.append(i), ej.append(i + d)
+    # sparse long-range loop closures: the information that bounds global
+    # drift, which single-hop Jacobi sweeps cannot exploit across hundreds of
+    # hops but the chordal CG solve can.
+    for i in range(0, C - C // 3, 25):
+        ei.append(i), ej.append(i + C // 3)
+    ei = np.asarray(ei, np.int32)
+    ej = np.asarray(ej, np.int32)
+    R_rel = np.stack([
+        Rotation.from_rotvec(rng.normal(0, np.radians(0.3), 3)).as_matrix()
+        @ (Rs[j] @ Rs[i].T)
+        for i, j in zip(ei, ej)
+    ]).astype(np.float32)
+
+    R0 = chain_initial_rotations(jnp.asarray(R_rel), jnp.asarray(ei),
+                                 jnp.asarray(ej), C)
+    R = chordal_rotation_init(jnp.asarray(R_rel), jnp.asarray(ei),
+                              jnp.asarray(ej), R0, num_cameras=C,
+                              cg_iters=1024)
+
+    def med_err(R_est):
+        R_est = np.asarray(R_est, np.float64)
+        A = Rs[0].T @ R_est[0]
+        errs = []
+        for k in range(C):
+            cosang = (np.trace(Rs[k] @ (R_est[k] @ A.T).T) - 1) / 2
+            errs.append(np.degrees(np.arccos(np.clip(cosang, -1, 1))))
+        return float(np.median(errs))
+
+    assert med_err(R0) > 2.0          # the chain walk really does drift
+    assert med_err(R) < med_err(R0) / 3
+    assert med_err(R) < 1.5
+    # orthonormality of the projected output
+    RtR = np.einsum("cij,cik->cjk", np.asarray(R), np.asarray(R))
+    np.testing.assert_allclose(RtR, np.tile(np.eye(3), (C, 1, 1)), atol=1e-4)
