@@ -100,29 +100,37 @@ def back_substitute_points(op: SchurOperands, dc: jax.Array) -> jax.Array:
 
 
 def conjugate_gradient(
-    matvec, b: jax.Array, num_iters: int, tol: float = 1e-8
+    matvec, b: jax.Array, num_iters: int, tol: float = 1e-8, precond=None
 ) -> jax.Array:
-    """Fixed-iteration preconditioned CG (Jacobi preconditioner is folded into
-    the LM damping; plain CG suffices for the damped SPD system)."""
+    """Fixed-iteration CG; pass ``precond`` (an approximate inverse, applied
+    to the residual each step) for PCG. Without a preconditioner, CG needs
+    O(sqrt(condition)) iterations — on a near-chain camera graph the Schur
+    complement's condition grows like diameter^2, so the block-Jacobi
+    preconditioner in :func:`solve_schur` is what keeps iteration counts
+    bounded at hundreds of cameras."""
+    if precond is None:
+        precond = lambda r: r
 
     def body(state):
-        x, rvec, p, rs, it = state
+        x, rvec, z, p, rz, it = state
         Ap = matvec(p)
         denom = jnp.vdot(p, Ap)
-        alpha = rs / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+        alpha = rz / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
         x = x + alpha * p
         rvec = rvec - alpha * Ap
-        rs_new = jnp.vdot(rvec, rvec)
-        beta = rs_new / jnp.where(jnp.abs(rs) < 1e-20, 1e-20, rs)
-        p = rvec + beta * p
-        return x, rvec, p, rs_new, it + 1
+        z = precond(rvec)
+        rz_new = jnp.vdot(rvec, z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+        p = z + beta * p
+        return x, rvec, z, p, rz_new, it + 1
 
     def cond(state):
-        _, _, _, rs, it = state
-        return (it < num_iters) & (rs > tol)
+        _, rvec, _, _, _, it = state
+        return (it < num_iters) & (jnp.vdot(rvec, rvec) > tol)
 
     x0 = jnp.zeros_like(b)
-    state = (x0, b, b, jnp.vdot(b, b), jnp.asarray(0))
+    z0 = precond(b)
+    state = (x0, b, z0, z0, jnp.vdot(b, z0), jnp.asarray(0))
     x, *_ = jax.lax.while_loop(cond, body, state)
     return x
 
@@ -130,14 +138,28 @@ def conjugate_gradient(
 def solve_schur(
     op: SchurOperands, cg_iters: int
 ) -> Tuple[jax.Array, jax.Array]:
-    """Solve the reduced camera system by CG, back-substitute points.
-    Returns (dc (C, 6), dp (P, 3)) — the LM *descent* direction (to subtract)."""
+    """Solve the reduced camera system by block-Jacobi-preconditioned CG,
+    back-substitute points. Returns (dc (C, 6), dp (P, 3)) — the LM *descent*
+    direction (to subtract).
+
+    The preconditioner is the damped camera block U^-1 (already formed, 6x6
+    per camera): the standard Schur-Jacobi choice, which bounds PCG iteration
+    growth on long weakly-coupled camera chains where plain CG stalls on the
+    low-frequency modes (measured: 1000-camera orbit, reproj converges but
+    the trajectory keeps a global bend with plain CG at any fixed count)."""
     b = schur_rhs(op)
     flat_b = b.reshape(-1)
+    Uinv = jnp.linalg.inv(op.U)
 
     def mv(xflat):
         return schur_matvec(op, xflat.reshape(b.shape)).reshape(-1)
 
-    dc = conjugate_gradient(mv, flat_b, num_iters=cg_iters).reshape(b.shape)
+    def pc(rflat):
+        r = rflat.reshape(b.shape)
+        return jnp.einsum("cij,cj->ci", Uinv, r).reshape(-1)
+
+    dc = conjugate_gradient(
+        mv, flat_b, num_iters=cg_iters, precond=pc
+    ).reshape(b.shape)
     dp = back_substitute_points(op, dc)
     return dc, dp

@@ -129,12 +129,23 @@ def bundle_adjust_sharded(
                 e = jax.lax.psum(jax.ops.segment_sum(d, obs_cam, num_segments=C), axis)
                 return (Ux - e).reshape(-1)
 
+            Uinv = jnp.linalg.inv(U)
+
+            def pc(rflat):
+                # Block-Jacobi (damped U^-1) preconditioner — same choice as
+                # the single-device solve_schur; see ba/schur.py.
+                return jnp.einsum(
+                    "cij,cj->ci", Uinv, rflat.reshape(C, 6)
+                ).reshape(-1)
+
             cvp = jnp.einsum("pij,pj->pi", Vinv, gp)
             dtmp = jnp.einsum("oij,oj->oi", W, cvp[obs_pt])
             e_rhs = jax.lax.psum(jax.ops.segment_sum(dtmp, obs_cam, num_segments=C), axis)
             b_rhs = (gc - e_rhs).reshape(-1)
 
-            dc = conjugate_gradient(matvec, b_rhs, num_iters=cg_iters).reshape(C, 6)
+            dc = conjugate_gradient(
+                matvec, b_rhs, num_iters=cg_iters, precond=pc
+            ).reshape(C, 6)
             a2 = jnp.einsum("oji,oj->oi", W, dc[obs_cam])
             b2 = jax.lax.psum(jax.ops.segment_sum(a2, obs_pt, num_segments=Pn), axis)
             dp = jnp.einsum("pij,pj->pi", Vinv, gp - b2)
