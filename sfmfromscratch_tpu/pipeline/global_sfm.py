@@ -47,9 +47,11 @@ from sfmfromscratch_tpu.geometry.averaging import (
     rotation_averaging,
     translation_averaging,
 )
+from sfmfromscratch_tpu.geometry.pnp import pnp_ransac
 from sfmfromscratch_tpu.geometry.ransac import (
     ransac_essential_pose_adaptive_batch,
     ransac_essential_pose_batch,
+    ransac_fundamental_adaptive_batch,
 )
 from sfmfromscratch_tpu.geometry.triangulation import (
     triangulate_multiview,
@@ -57,7 +59,8 @@ from sfmfromscratch_tpu.geometry.triangulation import (
 )
 from sfmfromscratch_tpu.native.bindings import build_tracks
 from sfmfromscratch_tpu.ops.lie import so3_log
-from sfmfromscratch_tpu.pipeline.incremental import SfmEngine
+from sfmfromscratch_tpu.ops.matcher import match_pairs_batch
+from sfmfromscratch_tpu.pipeline.incremental import SfmEngine, _pow2_bucket
 from sfmfromscratch_tpu.types import Features
 
 
@@ -116,8 +119,18 @@ class GlobalSfmEngine(SfmEngine):
         regate_px: float = 3.0,
         pair_mode: str = "window",
         retrieval_k: int = 6,
+        keyframe_step: int = 1,
         **kwargs,
     ):
+        # Keyframing for densely-sampled sequences (video): with step s > 1,
+        # the view graph / averaging / triangulation run on every s-th image
+        # only, and the remaining frames register afterwards by batched PnP
+        # against the keyframe map (then joint BA polishes everything).
+        # Rationale: tiny inter-frame baselines make relative poses noisy and
+        # drift compounds over the frame count — measured on a 1000-view
+        # 0.36 deg/view orbit, full-graph ATE was ~13% while the same scene
+        # at 100 keyframes (3.6 deg spacing) reconstructs at well under 1%.
+        self.keyframe_step = max(1, int(keyframe_step))
         # Pair selection: "window" assumes an ordered sequence (reference
         # contract); "retrieval" proposes each image's top-k most similar
         # images by pooled-descriptor similarity (unordered landmark
@@ -166,10 +179,30 @@ class GlobalSfmEngine(SfmEngine):
 
     # ------------------------------------------------------------------ stages
 
+    @property
+    def keyframes(self):
+        """1-based keyframe image ids (all images when keyframe_step == 1)."""
+        kfs = list(range(1, self.max_img + 1, self.keyframe_step))
+        if kfs[-1] != self.max_img:
+            kfs.append(self.max_img)
+        return kfs
+
     def _candidate_pairs(self, feats: Features):
-        pairs = set(super()._candidate_pairs(feats)) if self.pair_mode in (
-            "window", "both"
-        ) else set()
+        if self.keyframe_step > 1:
+            # Window pairs over the KEYFRAME subsequence (baseline spacing is
+            # what the window is for, and keyframes are the new unit of
+            # baseline); retrieval below restricts itself to keyframes.
+            kfs = self.keyframes
+            pairs = set()
+            if self.pair_mode in ("window", "both"):
+                for a in range(len(kfs) - 1):
+                    for d in range(1, self.pair_window + 1):
+                        if a + d < len(kfs):
+                            pairs.add((kfs[a], kfs[a + d]))
+        else:
+            pairs = set(super()._candidate_pairs(feats)) if self.pair_mode in (
+                "window", "both"
+            ) else set()
         if self.pair_mode in ("retrieval", "both"):
             # Pooled image descriptor: mean of valid RootSIFT descriptors,
             # L2-normalized — a cheap bag-of-features embedding whose cosine
@@ -184,11 +217,21 @@ class GlobalSfmEngine(SfmEngine):
             )
             S = pooled @ pooled.T
             S = S - 2.0 * jnp.eye(C, dtype=S.dtype)        # exclude self
+            if self.keyframe_step > 1:
+                # Keyframed runs: retrieval proposes keyframe-keyframe edges
+                # only (non-keyframes register by PnP afterwards).
+                kf_mask = np.zeros(C, bool)
+                kf_mask[[k - 1 for k in self.keyframes]] = True
+                S = jnp.where(jnp.asarray(kf_mask)[None, :], S, -2.0)
+                S = jnp.where(jnp.asarray(kf_mask)[:, None], S, -2.0)
             k = min(self.retrieval_k, C - 1)
             _, nbr = jax.lax.top_k(S, k)                   # (C, k)
             nbr = np.asarray(jax.device_get(nbr))
+            Svals = np.asarray(jax.device_get(jnp.take_along_axis(S, jnp.asarray(nbr), 1)))
             for i in range(C):
-                for j in nbr[i]:
+                for col, j in enumerate(nbr[i]):
+                    if Svals[i, col] <= -1.5:   # masked row/col — no edge
+                        continue
                     a, b = i + 1, int(j) + 1
                     pairs.add((min(a, b), max(a, b)))
         return sorted(pairs)
@@ -825,6 +868,7 @@ class GlobalSfmEngine(SfmEngine):
 
         uniq, pt_c = np.unique(self._obs_pt[ok], return_inverse=True)
         self._obs_cam = self._obs_cam[ok]
+        self._obs_kp = self._obs_kp[ok]
         self._obs_pt = pt_c.astype(np.int32)
         self._obs_xy = self._obs_xy[ok]
         self._X = X[uniq]
@@ -848,6 +892,151 @@ class GlobalSfmEngine(SfmEngine):
             self.global_poses.append((rvec, self._t_cams[c]))
             self.global_K.append(self._K_all[c])
 
+    def _register_nonkeyframes(self, feats: Features) -> None:
+        """Register every non-keyframe against the keyframe map: match each
+        frame to its two nearest keyframes (batched), link matches to the
+        keyframes' triangulated tracks, and solve ALL frames' poses as one
+        vmapped PnP-RANSAC program — the registration stage is embarrassingly
+        parallel, unlike the reference's sequential chain. Inlier observations
+        join the map so the final BA optimizes keyframes and registered
+        frames jointly."""
+        t0 = time.time()
+        kfs = self.keyframes
+        kf_set = set(kfs)
+        non_kf = [f for f in range(1, self.max_img + 1) if f not in kf_set]
+        if not non_kf:
+            return
+        # slot -> compacted track id per keyframe image (from the gated
+        # observation table; -1 where the slot has no surviving track).
+        cap = feats.keypoints.capacity
+        slot_track = {k: np.full(cap, -1, np.int64) for k in kfs}
+        for c, s, t in zip(self._obs_cam, self._obs_kp, self._obs_pt):
+            img = int(c) + 1
+            if img in slot_track:
+                slot_track[img][int(s)] = int(t)
+
+        # Registration pairs: (keyframe, frame) with the two nearest keyframes.
+        reg_pairs = []
+        for f in non_kf:
+            below = max((k for k in kfs if k < f), default=None)
+            above = min((k for k in kfs if k > f), default=None)
+            for k in (below, above):
+                if k is not None:
+                    reg_pairs.append((k, f))
+
+        mcfg = self.config.matcher
+        rcfg = self.config.ransac
+        D_all = feats.descriptors
+        M_all = feats.keypoints.mask
+        XF = feats.keypoints.xf
+        YF = feats.keypoints.yf
+        Kcap = int(D_all.shape[1])
+        maxb = int(max(8, min(128, (384 << 20) // max(Kcap * Kcap * 4, 1))))
+        results = {}
+        pend = []
+        for c0 in range(0, len(reg_pairs), maxb):
+            chunk = reg_pairs[c0 : c0 + maxb]
+            B = _pow2_bucket(len(chunk), maxb)
+            pad = chunk + [chunk[-1]] * (B - len(chunk))
+            pi = jnp.asarray([p[0] - 1 for p in pad], jnp.int32)
+            pj = jnp.asarray([p[1] - 1 for p in pad], jnp.int32)
+            res, p1, p2 = match_pairs_batch(
+                D_all, M_all, XF, YF, pi, pj,
+                ratio_threshold=mcfg.ratio_threshold,
+                max_matches=mcfg.max_matches,
+            )
+            keys = jax.random.split(self._next_key(), B)
+            fres = ransac_fundamental_adaptive_batch(
+                keys, p1, p2, res.mask,
+                max_hypotheses=rcfg.max_hypotheses(),
+                stage_size=rcfg.stage_size,
+                threshold=rcfg.epipolar_threshold,
+                confidence=rcfg.prob_success,
+            )
+            pend.append((chunk, res, fres, p2))
+        idx_np, filt_np, p2_np = jax.device_get((
+            jnp.concatenate([p[1].indices for p in pend]),
+            jnp.concatenate([p[2].inliers for p in pend]),
+            jnp.concatenate([p[3] for p in pend]),
+        ))
+        g = 0
+        for chunk, res, _f, _p in pend:
+            B = res.mask.shape[0]
+            for ci, key in enumerate(chunk):
+                row = g + ci
+                results[key] = (idx_np[row], filt_np[row], p2_np[row])
+            g += B
+
+        # Per frame: gather 2D-3D correspondences from its (<= 2) reg pairs.
+        M2 = 2 * int(idx_np.shape[1])
+        F = len(non_kf)
+        pts = self.map.points()
+        X_all = np.zeros((F, M2, 3), np.float32)
+        x_all = np.zeros((F, M2, 2), np.float32)
+        t_all = np.full((F, M2), -1, np.int64)
+        m_all = np.zeros((F, M2), bool)
+        K_all = np.zeros((F, 3, 3), np.float32)
+        for fi, f in enumerate(non_kf):
+            K_all[fi] = self._intrinsics(f)
+            off = 0
+            for k in (p for p in reg_pairs if p[1] == f):
+                idx, inl, p2c = results[k]
+                tr = slot_track[k[0]][idx[:, 0]]
+                sel = inl & (tr >= 0)
+                n = int(sel.sum())
+                if n:
+                    sl = slice(off, off + n)
+                    X_all[fi, sl] = pts[tr[sel]]
+                    x_all[fi, sl] = p2c[sel]
+                    t_all[fi, sl] = tr[sel]
+                    m_all[fi, sl] = True
+                    off += n
+        # Deduplicate track observations within a frame (two keyframes can
+        # contribute the same track): keep the first occurrence.
+        for fi in range(F):
+            _, first = np.unique(t_all[fi], return_index=True)
+            keep = np.zeros(M2, bool)
+            keep[first] = True
+            m_all[fi] &= keep
+
+        reg_hyp = min(512, self._pnp_hyp)
+        batched_pnp = jax.vmap(
+            lambda key, X, x, K, m: pnp_ransac(
+                key, X, x, K, mask=m, num_hypotheses=reg_hyp,
+                reproj_threshold=self.config.ransac.pnp_reproj_threshold,
+            )
+        )
+        keys = jax.random.split(self._next_key(), F)
+        out = batched_pnp(
+            keys, jnp.asarray(X_all), jnp.asarray(x_all),
+            jnp.asarray(K_all), jnp.asarray(m_all),
+        )
+        R_np, t_np, inl_np, ok_np = jax.device_get(
+            (out.R, out.t, out.inliers, out.ok)
+        )
+
+        for fi, f in enumerate(non_kf):
+            cam = f - 1
+            if bool(ok_np[fi]) and m_all[fi].sum() >= 6:
+                rvec = np.asarray(
+                    so3_log(jnp.asarray(R_np[fi], jnp.float32)), np.float64
+                )
+                tv = np.asarray(t_np[fi], np.float64)
+                good = inl_np[fi] & m_all[fi]
+                self.map.add_observations(
+                    np.where(good, t_all[fi], -1), x_all[fi].astype(np.float64),
+                    cam,
+                )
+            else:
+                # Fallback: inherit the nearest keyframe's pose.
+                near = min(kfs, key=lambda k: abs(k - f))
+                rvec, tv = self.global_poses[near - 1]
+                self.warnings.append(
+                    f"frame {f}: PnP registration failed, keyframe pose kept"
+                )
+            self.global_poses[cam] = (np.asarray(rvec), np.asarray(tv))
+        self.stage_times["register"] = time.time() - t0
+
     # ------------------------------------------------------------------ driver
 
     def run(self) -> "GlobalSfmEngine":
@@ -858,6 +1047,8 @@ class GlobalSfmEngine(SfmEngine):
         self._build_tracks(feats)
         self._triangulate()
         self._populate_map()
+        if self.keyframe_step > 1:
+            self._register_nonkeyframes(feats)
         # Camera 0 frozen: the averaging gauge (R=I, c=0) anchors BA.
         err_before = None
         for r in range(self.ba_rounds):

@@ -185,3 +185,42 @@ def test_global_retrieval_unordered(tmp_path):
     ate = absolute_trajectory_error(np.stack(est_c), gt_c)
     extent = np.linalg.norm(gt_c.max(0) - gt_c.min(0))
     assert ate / extent < 0.08, f"ATE {ate:.4f} vs extent {extent:.4f}"
+
+
+def test_keyframed_registration(tmp_path):
+    """keyframe_step > 1: the view graph runs on every k-th frame and the
+    rest register by batched PnP against the keyframe map. Pins the dense
+    -video path (BASELINE config 5 at 1000 views: full-graph ATE ~13%,
+    keyframed ~3.9% and 1.4x faster)."""
+    import cv2
+
+    from sfmfromscratch_tpu.utils.metrics import absolute_trajectory_error
+    from tests.render import render_sequence, write_sequence
+
+    rng = np.random.default_rng(11)
+    N = 20
+    images, K, poses, X = render_sequence(
+        rng, num_views=N, num_points=300, img_hw=(240, 320), patch=11,
+        orbit_step_deg=1.5,
+    )
+    d = tmp_path / "seq"
+    d.mkdir()
+    write_sequence(str(d), images)
+
+    eng = GlobalSfmEngine(str(d), N, config=_small_config(), single_K=K,
+                          pair_window=2, keyframe_step=2,
+                          output_dir=str(tmp_path / "out"))
+    assert len(eng.global_poses) == N          # every frame got a pose
+    assert eng.errors_before_after_ba[1] < 2.0
+    failed = [w for w in eng.warnings if "registration failed" in w]
+    assert len(failed) <= 2
+
+    C_est = []
+    for rvec, t in eng.global_poses:
+        R, _ = cv2.Rodrigues(np.asarray(rvec, np.float64).reshape(3, 1))
+        C_est.append(-R.T @ np.asarray(t, np.float64).reshape(3))
+    C_est = np.stack(C_est)
+    C_gt = np.stack([-R.T @ np.asarray(t).reshape(3) for R, t in poses])
+    ate = absolute_trajectory_error(C_est, C_gt)
+    extent = np.linalg.norm(C_gt.max(0) - C_gt.min(0))
+    assert 100 * ate / extent < 8.0
