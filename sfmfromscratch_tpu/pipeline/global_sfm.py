@@ -120,6 +120,7 @@ class GlobalSfmEngine(SfmEngine):
         pair_mode: str = "window",
         retrieval_k: int = 6,
         keyframe_step: int = 1,
+        keyframe_flow_px: Optional[float] = None,
         **kwargs,
     ):
         # Keyframing for densely-sampled sequences (video): with step s > 1,
@@ -128,9 +129,17 @@ class GlobalSfmEngine(SfmEngine):
         # against the keyframe map (then joint BA polishes everything).
         # Rationale: tiny inter-frame baselines make relative poses noisy and
         # drift compounds over the frame count — measured on a 1000-view
-        # 0.36 deg/view orbit, full-graph ATE was ~13% while the same scene
-        # at 100 keyframes (3.6 deg spacing) reconstructs at well under 1%.
-        self.keyframe_step = max(1, int(keyframe_step))
+        # 0.36 deg/view orbit, full-graph ATE was ~13% vs 3.9% keyframed.
+        # ``keyframe_step="auto"`` selects keyframes adaptively from measured
+        # inter-frame feature flow (``keyframe_flow_px`` target, default 5% of
+        # the image diagonal) — non-uniform camera speeds get non-uniform
+        # keyframes, with no manual tuning.
+        if keyframe_step == "auto":
+            self.keyframe_step = "auto"
+        else:
+            self.keyframe_step = max(1, int(keyframe_step))
+        self.keyframe_flow_px = keyframe_flow_px
+        self._auto_kfs: Optional[List[int]] = None
         # Pair selection: "window" assumes an ordered sequence (reference
         # contract); "retrieval" proposes each image's top-k most similar
         # images by pooled-descriptor similarity (unordered landmark
@@ -180,15 +189,78 @@ class GlobalSfmEngine(SfmEngine):
     # ------------------------------------------------------------------ stages
 
     @property
+    def keyframed(self) -> bool:
+        return self.keyframe_step == "auto" or self.keyframe_step > 1
+
+    @property
     def keyframes(self):
-        """1-based keyframe image ids (all images when keyframe_step == 1)."""
+        """1-based keyframe image ids (all images when keyframe_step == 1;
+        flow-selected when "auto" — available after feature extraction)."""
+        if self.keyframe_step == "auto":
+            return self._auto_kfs or list(range(1, self.max_img + 1))
         kfs = list(range(1, self.max_img + 1, self.keyframe_step))
         if kfs[-1] != self.max_img:
             kfs.append(self.max_img)
         return kfs
 
+    def _select_keyframes(self, feats: Features) -> None:
+        """Flow-adaptive keyframe selection: match every consecutive pair
+        (one batched program), measure the median matched-keypoint
+        displacement, and start a new keyframe whenever accumulated flow
+        since the last one reaches the target (default 5% of the image
+        diagonal) — non-uniform camera speeds get non-uniform keyframes."""
+        C = self.max_img
+        mcfg = self.config.matcher
+        D_all = feats.descriptors
+        M_all = feats.keypoints.mask
+        XF = feats.keypoints.xf
+        YF = feats.keypoints.yf
+        Kcap = int(D_all.shape[1])
+        maxb = int(max(8, min(128, (384 << 20) // max(Kcap * Kcap * 4, 1))))
+        consec = [(i, i + 1) for i in range(1, C)]
+        flows = np.zeros(len(consec))
+        pend = []
+        for c0 in range(0, len(consec), maxb):
+            chunk = consec[c0 : c0 + maxb]
+            B = _pow2_bucket(len(chunk), maxb)
+            pad = chunk + [chunk[-1]] * (B - len(chunk))
+            pi = jnp.asarray([p[0] - 1 for p in pad], jnp.int32)
+            pj = jnp.asarray([p[1] - 1 for p in pad], jnp.int32)
+            res, p1, p2 = match_pairs_batch(
+                D_all, M_all, XF, YF, pi, pj,
+                ratio_threshold=mcfg.ratio_threshold,
+                max_matches=mcfg.max_matches,
+            )
+            # Median displacement of masked matches, on device.
+            d = jnp.linalg.norm(p2 - p1, axis=-1)
+            d = jnp.where(res.mask, d, jnp.nan)
+            pend.append((len(chunk), jnp.nanmedian(d, axis=1)))
+        g = 0
+        for n, med in pend:
+            flows[g : g + n] = np.asarray(jax.device_get(med))[:n]
+            g += n
+        flows = np.nan_to_num(flows, nan=0.0)
+
+        tau = self.keyframe_flow_px
+        if tau is None:
+            K1 = self._intrinsics(1)
+            tau = 0.05 * 2.0 * float(np.hypot(K1[0, 2], K1[1, 2]))
+        kfs = [1]
+        acc = 0.0
+        for f in range(2, C + 1):
+            acc += flows[f - 2]
+            if acc >= tau:
+                kfs.append(f)
+                acc = 0.0
+        if kfs[-1] != C:
+            kfs.append(C)
+        self._auto_kfs = kfs
+        self.warnings.append(
+            f"auto keyframes: {len(kfs)}/{C} at flow target {tau:.1f} px"
+        )
+
     def _candidate_pairs(self, feats: Features):
-        if self.keyframe_step > 1:
+        if self.keyframed:
             # Window pairs over the KEYFRAME subsequence (baseline spacing is
             # what the window is for, and keyframes are the new unit of
             # baseline); retrieval below restricts itself to keyframes.
@@ -217,7 +289,7 @@ class GlobalSfmEngine(SfmEngine):
             )
             S = pooled @ pooled.T
             S = S - 2.0 * jnp.eye(C, dtype=S.dtype)        # exclude self
-            if self.keyframe_step > 1:
+            if self.keyframed:
                 # Keyframed runs: retrieval proposes keyframe-keyframe edges
                 # only (non-keyframes register by PnP afterwards).
                 kf_mask = np.zeros(C, bool)
@@ -1041,13 +1113,15 @@ class GlobalSfmEngine(SfmEngine):
 
     def run(self) -> "GlobalSfmEngine":
         feats = self._extract_all_features()
+        if self.keyframe_step == "auto":
+            self._select_keyframes(feats)
         self._match_pairs(feats)
         self._relative_poses()
         self._motion_averaging()
         self._build_tracks(feats)
         self._triangulate()
         self._populate_map()
-        if self.keyframe_step > 1:
+        if self.keyframed:
             self._register_nonkeyframes(feats)
         # Camera 0 frozen: the averaging gauge (R=I, c=0) anchors BA.
         err_before = None

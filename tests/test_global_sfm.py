@@ -224,3 +224,29 @@ def test_keyframed_registration(tmp_path):
     ate = absolute_trajectory_error(C_est, C_gt)
     extent = np.linalg.norm(C_gt.max(0) - C_gt.min(0))
     assert 100 * ate / extent < 8.0
+
+
+def test_auto_keyframe_selection(tmp_path):
+    """keyframe_step="auto": flow-adaptive selection picks sparser keyframes
+    where the camera moves faster, and the reconstruction still lands."""
+    from tests.render import render_sequence, write_sequence
+
+    rng = np.random.default_rng(11)
+    N = 20
+    images, K, poses, X = render_sequence(
+        rng, num_views=N, num_points=300, img_hw=(240, 320), patch=11,
+        orbit_step_deg=1.5,
+    )
+    d = tmp_path / "seq"
+    d.mkdir()
+    write_sequence(str(d), images)
+
+    eng = GlobalSfmEngine(str(d), N, config=_small_config(), single_K=K,
+                          pair_window=2, keyframe_step="auto",
+                          keyframe_flow_px=25.0,
+                          output_dir=str(tmp_path / "out"))
+    sel = [w for w in eng.warnings if "auto keyframes" in w]
+    assert sel, eng.warnings
+    assert 2 < len(eng.keyframes) < N        # actually subsampled
+    assert len(eng.global_poses) == N
+    assert eng.errors_before_after_ba[1] < 2.0
