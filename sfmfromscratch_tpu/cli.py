@@ -65,6 +65,18 @@ def main(argv=None) -> int:
                      help="incremental PnP chain, or global motion averaging "
                           "(all-pairs relative poses + rotation/translation "
                           "averaging; best for wide-baseline/unordered sets)")
+    rec.add_argument("--pair-mode", choices=["window", "retrieval", "both"],
+                     default="window",
+                     help="global pipeline pair proposal: sequential window, "
+                          "pooled-descriptor retrieval (unordered sets), or both")
+    rec.add_argument("--retrieval-k", type=int, default=6)
+    rec.add_argument("--keyframe-step", default="1",
+                     help="global pipeline: reconstruct every k-th frame and "
+                          "register the rest by batched PnP ('auto' = "
+                          "flow-adaptive selection; best for dense video)")
+    rec.add_argument("--keyframe-flow-px", type=float, default=None,
+                     help="flow target for --keyframe-step auto (default 5%% "
+                          "of the image diagonal)")
     _add_extractor_flags(rec)
 
     show = sub.add_parser("show", help="load a saved model and open the 3-D viewer")
@@ -149,12 +161,16 @@ def main(argv=None) -> int:
         from sfmfromscratch_tpu.pipeline.global_sfm import GlobalSfmEngine
 
         with prof:
+            kf = args.keyframe_step
             eng = GlobalSfmEngine(
                 args.img_path, args.max_img, config=cfg, single_K=single_K,
                 camera_sensor=sensor, model_name=args.model_name,
                 output_dir=args.output_dir,
                 pair_window=max(2, args.pair_window),
                 pair_cache_dir=args.pair_cache_dir,
+                pair_mode=args.pair_mode, retrieval_k=args.retrieval_k,
+                keyframe_step=kf if kf == "auto" else int(kf),
+                keyframe_flow_px=args.keyframe_flow_px,
             )
     else:
         with prof:
