@@ -34,7 +34,10 @@ def extract_features_single_scale(
 ) -> Features:
     """NaiveSIFT-equivalent: Harris + RootSIFT at one scale
     (reference NaiveSIFT.py:9-213)."""
-    from sfmfromscratch_tpu.ops.pallas.support import pallas_tpu_available
+    from sfmfromscratch_tpu.ops.pallas.support import (
+        pallas_tpu_available,
+        sift_pallas_available,
+    )
 
     k = k or cfg.num_interest_points
     fw = feature_width or cfg.feature_width
@@ -46,7 +49,7 @@ def extract_features_single_scale(
     desc = sift_descriptors(
         image_bw, kps.x, kps.y, kps.mask, feature_width=fw,
         rotation_invariant=rotation_invariant,
-        use_pallas=pallas_tpu_available(),
+        use_pallas=sift_pallas_available(),
     )
     return Features(keypoints=kps, descriptors=desc)
 
