@@ -60,6 +60,10 @@ def main(argv=None) -> int:
     rec.add_argument("--pair-cache-dir", default=None,
                      help="persist each matched pair here; a killed run "
                           "resumes STAGE A at the first uncomputed pair")
+    rec.add_argument("--export-ply", default=None,
+                     help="also write a colored PLY point cloud here")
+    rec.add_argument("--export-colmap", default=None,
+                     help="also write a COLMAP sparse text model to this dir")
     rec.add_argument("--pipeline", choices=["incremental", "global"],
                      default="incremental",
                      help="incremental PnP chain, or global motion averaging "
@@ -182,6 +186,10 @@ def main(argv=None) -> int:
                 on_pose_failure=args.on_pose_failure,
                 pair_cache_dir=args.pair_cache_dir,
             )
+    if args.export_ply:
+        eng.save_ply(args.export_ply)
+    if args.export_colmap:
+        eng.save_colmap(args.export_colmap)
     b, a = eng.errors_before_after_ba
     print(f"tracks={eng.map.num_tracks} observations={eng.map.num_observations}")
     print(f"mean reprojection error: {b:.4f} -> {a:.4f} px")

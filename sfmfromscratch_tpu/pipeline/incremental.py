@@ -1071,6 +1071,18 @@ class SfmEngine:
         # Pairs actually matched by THIS run (cache-resumed pairs excluded).
         return eng._last_match_computed
 
+    def save_ply(self, path: str) -> str:
+        """Export the reconstruction as a colored ASCII PLY (io/export.py)."""
+        from sfmfromscratch_tpu.io.export import save_ply
+
+        return save_ply(self, path)
+
+    def save_colmap(self, out_dir: str) -> str:
+        """Export a COLMAP sparse text model (io/export.py)."""
+        from sfmfromscratch_tpu.io.export import save_colmap
+
+        return save_colmap(self, out_dir)
+
     @staticmethod
     def load(model_name: str, output_dir: str = "output", show: bool = True):
         """Load a saved model; optionally open the 3-D viewer

@@ -156,3 +156,45 @@ def test_async_checkpointer_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(eng2.map.points(), eng.map.points())
     assert eng2.map.num_observations == eng.map.num_observations
     np.testing.assert_array_equal(eng2._kp_tracks[1], eng._kp_tracks[1])
+
+
+def test_export_ply_and_colmap(tmp_path):
+    """PLY + COLMAP sparse-text export of a reconstruction (io/export.py) —
+    output the reference cannot produce (it only writes its own npz,
+    Runner.py:357-359)."""
+    import numpy as np
+
+    from sfmfromscratch_tpu.pipeline.incremental import SfmEngine
+    from tests.render import render_sequence, write_sequence
+    from tests.test_pipeline import _small_config
+
+    rng = np.random.default_rng(42)
+    images, K, poses, X = render_sequence(rng, num_views=4, num_points=110)
+    d = tmp_path / "seq"
+    d.mkdir()
+    write_sequence(str(d), images)
+    eng = SfmEngine(str(d), 4, config=_small_config(), single_K=K,
+                    output_dir=str(tmp_path / "out"))
+
+    ply = eng.save_ply(str(tmp_path / "model.ply"))
+    lines = open(ply).read().splitlines()
+    assert lines[0] == "ply"
+    n_vert = int([l for l in lines if l.startswith("element vertex")][0].split()[-1])
+    assert n_vert == eng.map.num_tracks + len(eng.global_poses)
+    body = lines[lines.index("end_header") + 1:]
+    assert len(body) == n_vert
+    assert all(len(l.split()) == 6 for l in body[:10])
+
+    cm = eng.save_colmap(str(tmp_path / "colmap"))
+    cams = open(f"{cm}/cameras.txt").read().splitlines()
+    imgs_txt = open(f"{cm}/images.txt").read().splitlines()
+    pts_txt = open(f"{cm}/points3D.txt").read().splitlines()
+    n_cams = len(eng.global_poses)
+    assert sum(1 for l in cams if not l.startswith("#")) == n_cams
+    # images.txt: two lines per image (pose, observations)
+    assert sum(1 for l in imgs_txt if not l.startswith("#")) == 2 * n_cams
+    n_pts = sum(1 for l in pts_txt if not l.startswith("#"))
+    assert n_pts == eng.map.num_tracks
+    # every 3-D point line: id x y z rgb error + pairs
+    first = [l for l in pts_txt if not l.startswith("#")][0].split()
+    assert (len(first) - 8) % 2 == 0 and len(first) >= 10
