@@ -25,7 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from sfmfromscratch_tpu.ba.lm import BAResult
+from sfmfromscratch_tpu.ba.lm import BAResult, huber_weights, robust_cost
 from sfmfromscratch_tpu.ba.problem import (
     BAProblem,
     jacobian_blocks,
@@ -61,9 +61,12 @@ def bundle_adjust_sharded(
     damping_up: float = 4.0,
     damping_down: float = 0.5,
     ftol: float = 1e-2,
+    huber_delta: float = 0.0,
 ) -> BAResult:
     """LM + Schur/CG with observation shards on ``axis``. Cameras and points
-    are replicated (they are tiny next to the observations)."""
+    are replicated (they are tiny next to the observations). ``huber_delta``
+    matches the single-device solver's robust IRLS loss (0 = plain least
+    squares)."""
     num_shards = mesh.shape[axis] * (
         int(np.prod([s for n, s in mesh.shape.items() if n != axis]))
     )
@@ -86,6 +89,10 @@ def bundle_adjust_sharded(
         )
 
         def cost_fn(cam, pts):
+            if huber_delta > 0:
+                from sfmfromscratch_tpu.ba.lm import robust_cost as _rc
+
+                return jax.lax.psum(_rc(local, cam, pts, huber_delta), axis)
             return jax.lax.psum(total_cost(local, cam, pts), axis)
 
         def mean_err(cam, pts):
@@ -103,6 +110,11 @@ def bundle_adjust_sharded(
         def lm_step(state):
             cam, pts, lam, cost, it, done = state
             Jc, Jp, r = jacobian_blocks(local, cam, pts)
+            if huber_delta > 0:
+                hw = huber_weights(r, huber_delta)
+                r = r * hw[:, None]
+                Jc = Jc * hw[:, None, None]
+                Jp = Jp * hw[:, None, None]
             UtU = jnp.einsum("oki,okj->oij", Jc, Jc)
             VtV = jnp.einsum("oki,okj->oij", Jp, Jp)
             W = jnp.einsum("oki,okj->oij", Jc, Jp)

@@ -898,6 +898,7 @@ class SfmEngine:
                 damping_up=ba_cfg.damping_up,
                 damping_down=ba_cfg.damping_down,
                 ftol=ba_cfg.ftol,
+                huber_delta=ba_cfg.huber_delta,
             )
         else:
             res = bundle_adjust(

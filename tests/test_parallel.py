@@ -118,3 +118,23 @@ def test_engine_with_mesh(rng, tmp_path):
     assert len(eng.global_poses) == 3
     b, a = eng.errors_before_after_ba
     assert a <= b + 1e-6 and a < 3.0
+
+
+def test_sharded_ba_huber_matches_single_device(rng):
+    """Robust (Huber IRLS) sharded BA == the single-device robust solver —
+    the mesh path must not silently lose the robust loss."""
+    problem, _, _ = _multi_view_problem(rng, num_cams=5, num_pts=80,
+                                        perturb=0.02, noise=0.3)
+    # contaminate a few observations so the robust loss matters
+    import numpy as _np
+    xy = _np.asarray(problem.obs_xy).copy()
+    xy[::37] += 60.0
+    problem = problem._replace(obs_xy=jnp.asarray(xy))
+    mesh = make_mesh(8, model_parallel=1)
+    res_s = bundle_adjust_sharded(problem, mesh, max_iters=12, cg_iters=40,
+                                  ftol=1e-8, huber_delta=3.0)
+    res_1 = bundle_adjust(problem, max_iters=12, cg_iters=40, ftol=1e-8,
+                          huber_delta=3.0)
+    assert abs(float(res_s.final_mean_error) - float(res_1.final_mean_error)) < 0.05
+    _np.testing.assert_allclose(_np.asarray(res_s.cam_params),
+                                _np.asarray(res_1.cam_params), atol=5e-3)
