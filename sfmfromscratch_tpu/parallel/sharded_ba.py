@@ -90,9 +90,9 @@ def bundle_adjust_sharded(
 
         def cost_fn(cam, pts):
             if huber_delta > 0:
-                from sfmfromscratch_tpu.ba.lm import robust_cost as _rc
-
-                return jax.lax.psum(_rc(local, cam, pts, huber_delta), axis)
+                return jax.lax.psum(
+                    robust_cost(local, cam, pts, huber_delta), axis
+                )
             return jax.lax.psum(total_cost(local, cam, pts), axis)
 
         def mean_err(cam, pts):
