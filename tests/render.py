@@ -85,3 +85,105 @@ def write_sequence(tmpdir, images):
     for i, img in enumerate(images, start=1):
         arr = (np.stack([img] * 3, -1) * 255).astype(np.uint8)
         Image.fromarray(arr).save(os.path.join(tmpdir, f"{i}.jpg"), quality=95)
+
+
+def render_planes(
+    rng,
+    num_views: int = 8,
+    img_hw=(240, 320),
+    f: float = 400.0,
+    orbit_step_deg: float = 10.0,
+    tex_size: int = 512,
+    orbit_radius: float = 7.0,
+):
+    """Perspective-correct synthetic scene: a room of textured PLANES rendered
+    by ray-plane intersection + bilinear texture sampling, so appearance warps
+    projectively with viewpoint (unlike the sprite renderer above, whose
+    unwarped patches stop matching beyond ~8 deg baselines). Wide-baseline
+    matching, retrieval and cycle-filter behavior can be validated honestly
+    against this one.
+
+    Returns (images, K, poses, None) with the same conventions as
+    ``render_sequence``.
+    """
+    H, W = img_hw
+    K = np.array([[f, 0.0, W / 2], [0.0, f, H / 2], [0.0, 0.0, 1.0]])
+    center = np.array([0.0, 0.0, 7.0])
+
+    def smooth_texture():
+        # Blocky multi-scale noise: nearest-upsampled random grids give crisp
+        # corner-rich structure at ~4 and ~16 screen pixels — the scales the
+        # Harris/SIFT frontend detects — instead of subpixel speckle.
+        def blocks(n):
+            g = rng.uniform(0, 1, (n, n))
+            r = tex_size // n
+            return np.repeat(np.repeat(g, r, axis=0), r, axis=1)
+
+        return np.clip(0.15 + 0.5 * blocks(64) + 0.35 * blocks(16), 0, 1)
+
+    # A textured BOX at the look-at center, orbited from outside (adjacent
+    # views share faces, so matching holds at any orbit step), plus a ground
+    # plane for extra support.
+    h = 1.8
+    planes = []
+    specs = [
+        (center + [-h, -h, -h], [2 * h, 0, 0], [0, 2 * h, 0]),   # front (-z)
+        (center + [-h, -h, h], [2 * h, 0, 0], [0, 2 * h, 0]),    # back (+z)
+        (center + [-h, -h, -h], [0, 0, 2 * h], [0, 2 * h, 0]),   # left (-x)
+        (center + [h, -h, -h], [0, 0, 2 * h], [0, 2 * h, 0]),    # right (+x)
+        (center + [-h, -h, -h], [2 * h, 0, 0], [0, 0, 2 * h]),   # top (-y)
+        (center + [-4.5, 2.2, -4.5], [9.0, 0, 0], [0, 0, 9.0]),  # ground
+    ]
+    for O, U, V in specs:
+        planes.append((np.asarray(O, float), np.asarray(U, float),
+                       np.asarray(V, float), smooth_texture()))
+
+    poses = []
+    for v in range(num_views):
+        a = np.radians(orbit_step_deg) * v
+        c = center + orbit_radius * np.array([np.sin(a), 0.0, -np.cos(a)])
+        z = center - c
+        z = z / np.linalg.norm(z)
+        x = np.cross(np.array([0.0, 1.0, 0.0]), z)
+        x = x / np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])
+        poses.append((R, -R @ c))
+
+    uu, vv = np.meshgrid(np.arange(W, dtype=float), np.arange(H, dtype=float))
+    pix = np.stack([uu.ravel(), vv.ravel(), np.ones(H * W)], axis=1)
+    Kinv = np.linalg.inv(K)
+
+    images = []
+    for R, t in poses:
+        c = -R.T @ t
+        rays = (pix @ Kinv.T) @ R          # (HW, 3) world directions
+        img = np.zeros(H * W)
+        depth = np.full(H * W, np.inf)
+        for O, U, V, tex in planes:
+            A = np.empty((H * W, 3, 3))
+            A[:, :, 0] = U
+            A[:, :, 1] = V
+            A[:, :, 2] = -rays
+            rhs = np.broadcast_to(c - O, (H * W, 3))[..., None]   # (HW, 3, 1)
+            try:
+                sol = np.linalg.solve(A, rhs)[..., 0]
+            except np.linalg.LinAlgError:
+                continue
+            a_, b_, s_ = sol[:, 0], sol[:, 1], sol[:, 2]
+            hit = (a_ >= 0) & (a_ <= 1) & (b_ >= 0) & (b_ <= 1) & (s_ > 0.1)
+            hit &= s_ < depth
+            if not hit.any():
+                continue
+            ta = np.clip(a_[hit] * (tex.shape[1] - 1), 0, tex.shape[1] - 1.001)
+            tb = np.clip(b_[hit] * (tex.shape[0] - 1), 0, tex.shape[0] - 1.001)
+            i0 = tb.astype(int); j0 = ta.astype(int)
+            db = tb - i0; da = ta - j0
+            val = (tex[i0, j0] * (1 - da) * (1 - db)
+                   + tex[i0, j0 + 1] * da * (1 - db)
+                   + tex[i0 + 1, j0] * (1 - da) * db
+                   + tex[i0 + 1, j0 + 1] * da * db)
+            img[hit] = val
+            depth[hit] = s_[hit]
+        images.append(img.reshape(H, W).astype(np.float32))
+    return images, K, poses, None
