@@ -1,0 +1,102 @@
+"""Image retrieval for pair selection: VLAD over a k-means SIFT vocabulary.
+
+The global pipeline's earlier retrieval used the L2-normalized MEAN descriptor
+per image — too weak an embedding to rank neighbors (measured on a shuffled
+36-view 360-degree orbit: only 13 of 128 proposed pairs were true neighbors
+and the view graph fragmented into 9 components). VLAD (Jegou et al.) is the
+classic fix at this scale: descriptors assign to a small visual vocabulary and
+each image aggregates per-cluster RESIDUALS, preserving appearance structure
+the mean destroys.
+
+TPU-first shape: everything is batched matmuls/segment-sums under one jit —
+k-means assignment is a (N, D) x (D, V) matmul + argmin, VLAD aggregation one
+einsum against the assignment one-hot; power-law + L2 normalization on the
+flattened (V*D) embedding; ranking one (C, VD) x (VD, C) matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from sfmfromscratch_tpu.utils.precision import mm_f32
+
+
+@functools.partial(jax.jit, static_argnames=("num_clusters", "iters"))
+@mm_f32
+def kmeans_vocabulary(
+    key: jax.Array,
+    descs: jax.Array,      # (C, K, D) per-image descriptors
+    mask: jax.Array,       # (C, K) validity
+    num_clusters: int = 64,
+    iters: int = 8,
+) -> jax.Array:
+    """(V, D) visual vocabulary by Lloyd's k-means over all valid descriptors."""
+    C, K, D = descs.shape
+    flat = descs.reshape(C * K, D)
+    m = mask.reshape(C * K)
+
+    # Initialize from random VALID descriptors (Gumbel-style top-V of masked
+    # random scores — no host round trip).
+    scores = jax.random.uniform(key, (C * K,)) - (~m) * 1e9
+    _, idx = jax.lax.top_k(scores, num_clusters)
+    centers = flat[idx]
+
+    def step(centers, _):
+        d2 = (
+            jnp.sum(flat * flat, axis=1, keepdims=True)
+            - 2.0 * flat @ centers.T
+            + jnp.sum(centers * centers, axis=1)[None, :]
+        )
+        assign = jnp.argmin(d2, axis=1)
+        w = m.astype(flat.dtype)
+        sums = jax.ops.segment_sum(flat * w[:, None], assign,
+                                   num_segments=num_clusters)
+        cnts = jax.ops.segment_sum(w, assign, num_segments=num_clusters)
+        new = sums / jnp.maximum(cnts, 1.0)[:, None]
+        return jnp.where((cnts > 0)[:, None], new, centers), None
+
+    centers, _ = jax.lax.scan(step, centers, None, length=iters)
+    return centers
+
+
+@jax.jit
+@mm_f32
+def vlad_embeddings(
+    descs: jax.Array,      # (C, K, D)
+    mask: jax.Array,       # (C, K)
+    centers: jax.Array,    # (V, D)
+) -> jax.Array:
+    """(C, V*D) VLAD embeddings: per-cluster residual aggregation, power-law
+    (signed sqrt) + L2 normalization."""
+    C, K, D = descs.shape
+    V = centers.shape[0]
+    d2 = (
+        jnp.sum(descs * descs, axis=-1, keepdims=True)
+        - 2.0 * descs @ centers.T
+        + jnp.sum(centers * centers, axis=1)[None, None, :]
+    )                                                   # (C, K, V)
+    assign = jnp.argmin(d2, axis=-1)                    # (C, K)
+    onehot = jax.nn.one_hot(assign, V, dtype=descs.dtype)
+    onehot = onehot * mask[..., None].astype(descs.dtype)
+    agg = jnp.einsum("ckv,ckd->cvd", onehot, descs)     # sum of descs per cluster
+    cnt = jnp.sum(onehot, axis=1)                       # (C, V)
+    vlad = agg - cnt[..., None] * centers[None]         # residuals
+    flat = vlad.reshape(C, V * D)
+    flat = jnp.sign(flat) * jnp.sqrt(jnp.abs(flat))     # power normalization
+    n = jnp.linalg.norm(flat, axis=1, keepdims=True)
+    return flat / jnp.maximum(n, 1e-9)
+
+
+def retrieval_similarity(
+    key: jax.Array, descs: jax.Array, mask: jax.Array,
+    num_clusters: int = 64,
+) -> jax.Array:
+    """(C, C) cosine similarity of VLAD embeddings (diagonal suppressed)."""
+    centers = kmeans_vocabulary(key, descs, mask, num_clusters=num_clusters)
+    emb = vlad_embeddings(descs, mask, centers)
+    S = emb @ emb.T
+    C = S.shape[0]
+    return S - 2.0 * jnp.eye(C, dtype=S.dtype)

@@ -276,19 +276,17 @@ class GlobalSfmEngine(SfmEngine):
                 "window", "both"
             ) else set()
         if self.pair_mode in ("retrieval", "both"):
-            # Pooled image descriptor: mean of valid RootSIFT descriptors,
-            # L2-normalized — a cheap bag-of-features embedding whose cosine
-            # similarity ranks candidate pairs. One batched device program:
-            # (C, K, 128) -> (C, 128) -> C x C matmul -> top-k.
+            # VLAD image retrieval (ops/retrieval.py): k-means vocabulary over
+            # all descriptors, per-image residual aggregation, cosine ranking
+            # — one batched device program; the mean-descriptor embedding this
+            # replaces ranked neighbors near-randomly (13/128 true-neighbor
+            # proposals on a shuffled 36-view orbit; VLAD recovers them).
+            from sfmfromscratch_tpu.ops.retrieval import retrieval_similarity
+
             C = self.max_img
-            D = feats.descriptors
-            M = feats.keypoints.mask.astype(D.dtype)
-            pooled = jnp.sum(D * M[..., None], axis=1)
-            pooled = pooled / jnp.maximum(
-                jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-9
+            S = retrieval_similarity(
+                self._next_key(), feats.descriptors, feats.keypoints.mask
             )
-            S = pooled @ pooled.T
-            S = S - 2.0 * jnp.eye(C, dtype=S.dtype)        # exclude self
             if self.keyframed:
                 # Keyframed runs: retrieval proposes keyframe-keyframe edges
                 # only (non-keyframes register by PnP afterwards).
@@ -503,7 +501,33 @@ class GlobalSfmEngine(SfmEngine):
         # (the accusers die, the culprit survives). Scale tau by the median
         # triangle residual — on a clean graph it stays at tau_deg.
         rr = [a for _, a in live_residuals()]
-        tau_eff = max(tau_deg, 1.5 * float(np.median(rr))) if rr else tau_deg
+        # Strictness scales with graph REDUNDANCY. On a redundant graph
+        # (several triangles per edge — retrieval/landmark graphs), anchor the
+        # noise-adaptive threshold to a LOW quantile: the quantile tracks the
+        # good-triangle noise floor even when wrong edges contaminate most
+        # triangles, where the median would balloon tau until the filter
+        # self-disables (observed on a doppelganger-heavy retrieval graph:
+        # median triangle residual 30+ deg, zero evictions, averaging
+        # wrecked). On a SPARSE graph (short windows, few views) the same
+        # strictness shreds noisy-but-usable edges the solution cannot spare,
+        # so keep the lenient median anchor there.
+        tpe: Dict[int, int] = {}
+        for t in tris:
+            if all(alive[e] for e in t):
+                for e in t:
+                    tpe[e] = tpe.get(e, 0) + 1
+        n_alive = int(alive.sum())
+        redundant = (
+            n_alive >= 24
+            and len(tpe) >= 0.6 * n_alive
+            and float(np.median(list(tpe.values()) or [0])) >= 3
+        )
+        if not rr:
+            tau_eff = tau_deg
+        elif redundant:
+            tau_eff = max(tau_deg, 2.0 * float(np.percentile(rr, 25)))
+        else:
+            tau_eff = max(tau_deg, 1.5 * float(np.median(rr)))
 
         removed = []
         while True:
@@ -538,16 +562,51 @@ class GlobalSfmEngine(SfmEngine):
             alive[worst] = False
             removed.append(self._edges[worst])
 
-        # Edges left in no triangle are unverifiable: DAMP them (they only
-        # count fractionally in the averaging) rather than drop — an
-        # unverifiable edge may still be the sole good link to a camera, and
-        # the residual-rejection backup downstream sees through the rest.
+        # Edges left in no surviving triangle are UNVERIFIABLE. Keep one only
+        # when it bridges components of the verified subgraph (a chain-like
+        # graph has no triangles at all — every consecutive edge bridges, so
+        # nothing changes there), damped to fractional weight; every other
+        # unverifiable edge is dropped outright. Redundant unverifiable edges
+        # are exactly where doppelganger geometry hides (repeated structure
+        # yields high-inlier wrong edges that join no consistent triangle);
+        # merely damping them measurably poisoned averaging AND track building
+        # on a doppelganger-heavy retrieval graph.
         in_tri = np.zeros(E, bool)
         for t in tris:
             if all(alive[e] for e in t):
                 for e in t:
                     in_tri[e] = True
-        damped = alive & ~in_tri & (self._edge_w > 0)
+        unverifiable = alive & ~in_tri & (self._edge_w > 0)
+
+        if redundant:
+            # Redundant graph: keep an unverifiable edge only when it bridges
+            # components of the verified subgraph; drop the rest outright.
+            parent = np.arange(self.max_img)
+
+            def _find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for e in np.nonzero(alive & in_tri)[0]:
+                i, j = self._edges[e]
+                parent[_find(i - 1)] = _find(j - 1)
+            damped = np.zeros(E, bool)
+            # Strongest-first so the kept bridge is the best-supported one.
+            for e in sorted(np.nonzero(unverifiable)[0],
+                            key=lambda e: -self._edge_w[e]):
+                i, j = self._edges[e]
+                ri, rj = _find(i - 1), _find(j - 1)
+                if ri != rj:
+                    parent[ri] = rj
+                    damped[e] = True
+                else:
+                    alive[e] = False
+                    removed.append(self._edges[e])
+        else:
+            # Sparse graph: every unverifiable edge may be load-bearing; damp.
+            damped = unverifiable
 
         if removed:
             self.warnings.append(

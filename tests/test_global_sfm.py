@@ -156,12 +156,17 @@ def test_global_engine_on_mesh(rendered, tmp_path):
 
 def test_global_retrieval_unordered(tmp_path):
     """Retrieval pair selection reconstructs an UNORDERED collection — the
-    images are shuffled so the sequential-window assumption is void."""
+    images are shuffled so the sequential-window assumption is void. Uses the
+    perspective-correct renderer: VLAD retrieval + the cycle filter must find
+    the true neighbors among shuffled 10-deg-spaced views (the sprite
+    renderer's unwarped patches made every wide pair garbage, so this test
+    was previously seed-fragile)."""
     from sfmfromscratch_tpu.utils.metrics import absolute_trajectory_error
+    from tests.render import render_planes
 
     rng = np.random.default_rng(3)
-    images, K, poses, X = render_sequence(
-        rng, num_views=6, num_points=160, orbit_step_deg=5.0,
+    images, K, poses, X = render_planes(
+        rng, num_views=12, orbit_step_deg=10.0,
     )
     perm = rng.permutation(len(images))
     d = tmp_path / "shuffled"
