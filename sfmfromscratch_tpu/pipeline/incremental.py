@@ -252,6 +252,7 @@ class SfmEngine:
         local_ba_window: int = 5,
         feature_extractor=None,
         pair_cache_dir: Optional[str] = None,
+        refine_focal: bool = False,
         auto_run: bool = True,
     ):
         self.img_path = img_path
@@ -291,6 +292,11 @@ class SfmEngine:
         # STAGE A at the first uncomputed pair instead of from scratch. Shard
         # -safe: each pair is its own file, keyed by a config fingerprint.
         self.pair_cache_dir = pair_cache_dir
+        # Focal self-calibration (ba/selfcal.py): alternate BA with a Newton
+        # refit of a shared focal scale — EXIF focals are nominal and the
+        # reference never questions them (SFM.py:311-374).
+        self.refine_focal = refine_focal
+        self.focal_scale: float = 1.0
         # Host-sharded match graph (north star: "sharding the pairwise
         # matching graph across hosts"): (shard, num_shards) restricts THIS
         # process to every num_shards-th candidate pair; combined with
@@ -887,9 +893,42 @@ class SfmEngine:
 
         problem = pad_problem(problem)
         ba_cfg = self.config.ba
-        if self.mesh is not None and "data" in self.mesh.shape:
+        if self.refine_focal and not (
+            self.mesh is not None and "data" in self.mesh.shape
+        ):
+            # Self-calibrating BA: shared focal scale optimized JOINTLY via
+            # the bordered Schur system (ba/selfcal.py) — alternating a 1-D
+            # refit with fixed-K BA cannot work (the converged poses absorb
+            # the focal error and its gradient vanishes).
+            from sfmfromscratch_tpu.ba.selfcal import bundle_adjust_selfcal
+
+            res, s_jax = bundle_adjust_selfcal(
+                problem,
+                max_iters=ba_cfg.max_lm_iters,
+                cg_iters=60,
+                init_damping=ba_cfg.init_damping,
+                damping_up=ba_cfg.damping_up,
+                damping_down=ba_cfg.damping_down,
+                ftol=ba_cfg.ftol,
+                huber_delta=ba_cfg.huber_delta,
+            )
+            s = float(jax.device_get(s_jax))
+            self.focal_scale *= s
+            for i in range(len(self.global_K)):
+                Kn = np.asarray(self.global_K[i], np.float64).copy()
+                Kn[0, 0] *= s
+                Kn[1, 1] *= s
+                self.global_K[i] = Kn
+            self.warnings.append(
+                f"focal self-calibration: cumulative scale {self.focal_scale:.4f}"
+            )
+        elif self.mesh is not None and "data" in self.mesh.shape:
             from sfmfromscratch_tpu.parallel.sharded_ba import bundle_adjust_sharded
 
+            if self.refine_focal:
+                self.warnings.append(
+                    "refine_focal is single-device only; ignored on the mesh"
+                )
             res = bundle_adjust_sharded(
                 problem, self.mesh,
                 max_iters=ba_cfg.max_lm_iters,
