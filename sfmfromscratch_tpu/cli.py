@@ -60,6 +60,9 @@ def main(argv=None) -> int:
     rec.add_argument("--pair-cache-dir", default=None,
                      help="persist each matched pair here; a killed run "
                           "resumes STAGE A at the first uncomputed pair")
+    rec.add_argument("--refine-focal", action="store_true",
+                     help="self-calibrate a shared focal scale inside BA "
+                          "(EXIF focals are nominal)")
     rec.add_argument("--export-ply", default=None,
                      help="also write a colored PLY point cloud here")
     rec.add_argument("--export-colmap", default=None,
@@ -175,6 +178,7 @@ def main(argv=None) -> int:
                 pair_mode=args.pair_mode, retrieval_k=args.retrieval_k,
                 keyframe_step=kf if kf == "auto" else int(kf),
                 keyframe_flow_px=args.keyframe_flow_px,
+                refine_focal=args.refine_focal,
             )
     else:
         with prof:
@@ -185,6 +189,7 @@ def main(argv=None) -> int:
                 pair_window=args.pair_window, local_ba_every=args.local_ba_every,
                 on_pose_failure=args.on_pose_failure,
                 pair_cache_dir=args.pair_cache_dir,
+                refine_focal=args.refine_focal,
             )
     if args.export_ply:
         eng.save_ply(args.export_ply)

@@ -93,6 +93,28 @@ def extract_features(image_bw: jax.Array, cfg: ExtractorConfig) -> Features:
     return Features(keypoints=kps, descriptors=jnp.concatenate(descs))
 
 
+def make_dog_extractor(cfg: ExtractorConfig):
+    """DoG-frontend factory for the engine's ``feature_extractor`` slot:
+    Difference-of-Gaussians scale-space detection (ops/dog.py — the north
+    star's 'Harris/DoG' second detector family) + the same rotation-invariant
+    RootSIFT descriptor stage. Returns a callable (image_bw) -> Features with
+    the engine's fixed-capacity contract."""
+    from sfmfromscratch_tpu.ops.dog import detect_dog_keypoints
+    from sfmfromscratch_tpu.ops.pallas.support import sift_pallas_available
+
+    def extract(image_bw: jax.Array) -> Features:
+        kps = detect_dog_keypoints(image_bw, k=cfg.num_interest_points)
+        desc = sift_descriptors(
+            image_bw, kps.x, kps.y, kps.mask,
+            feature_width=max(cfg.feature_width, 16),
+            rotation_invariant=True,
+            use_pallas=sift_pallas_available(),
+        )
+        return Features(keypoints=kps, descriptors=desc)
+
+    return extract
+
+
 def extract_features_batch(images_bw: jax.Array, cfg: ExtractorConfig) -> Features:
     """Batched pyramid extraction: (B, H, W) images -> Features with leading
     batch axis. One compiled program for the whole image set; on a mesh, shard

@@ -169,3 +169,27 @@ def test_engine_with_custom_extractor(tmp_path):
                     feature_extractor=my_extractor, output_dir=str(tmp_path))
     assert len(calls) == 3            # once per image, never per pair
     assert eng.map.num_tracks > 20
+
+
+def test_dog_extractor_slot_reconstructs(tmp_path):
+    """The DoG frontend plugs into the engine's feature_extractor slot
+    (reference extractor-strategy contract, Runner.py:129-130) and carries a
+    full reconstruction."""
+    import numpy as np
+
+    from sfmfromscratch_tpu.pipeline.frontend import make_dog_extractor
+    from sfmfromscratch_tpu.pipeline.incremental import SfmEngine
+    from tests.render import render_sequence, write_sequence
+    from tests.test_pipeline import _small_config
+
+    rng = np.random.default_rng(42)
+    images, K, poses, X = render_sequence(rng, num_views=4, num_points=110)
+    d = tmp_path / "seq"
+    d.mkdir()
+    write_sequence(str(d), images)
+    cfg = _small_config()
+    eng = SfmEngine(str(d), 4, config=cfg, single_K=K,
+                    feature_extractor=make_dog_extractor(cfg.extractor),
+                    output_dir=str(tmp_path / "out"))
+    assert eng.map.num_tracks > 25
+    assert eng.errors_before_after_ba[1] < 3.0
