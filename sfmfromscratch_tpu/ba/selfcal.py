@@ -32,7 +32,6 @@ from sfmfromscratch_tpu.ba.problem import (
     BAProblem,
     jacobian_blocks,
     mean_reprojection_error,
-    residuals,
     total_cost,
 )
 from sfmfromscratch_tpu.ba.schur import (
@@ -43,10 +42,6 @@ from sfmfromscratch_tpu.ba.schur import (
     schur_rhs,
 )
 from sfmfromscratch_tpu.utils.precision import mm_f32
-
-
-class SelfCalResult(BAResult):
-    pass
 
 
 def _scaled(problem: BAProblem, s) -> BAProblem:

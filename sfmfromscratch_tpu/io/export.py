@@ -111,7 +111,19 @@ def save_colmap(engine, out_dir: str) -> str:
             f.write(f"{c + 1} PINHOLE {w} {h} "
                     f"{K[0, 0]:.6f} {K[1, 1]:.6f} {K[0, 2]:.6f} {K[1, 2]:.6f}\n")
 
-    # Per-observation point ids, grouped by frame for images.txt POINTS2D.
+    # Observations grouped ONCE by frame (images.txt) and once by track
+    # (points3D.txt): argsort + slicing, O(O log O) — a per-frame/per-point
+    # boolean scan would be O(C*O)/O(P*O), minutes at headline scale.
+    O = len(frames)
+    by_frame = np.argsort(frames, kind="stable")
+    frame_starts = np.searchsorted(frames[by_frame],
+                                   np.arange(len(engine.global_poses) + 1))
+    # Running per-frame 2-D index (order of the POINTS2D lines below).
+    pt2d_idx = np.zeros(O, np.int64)
+    for c in range(len(engine.global_poses)):
+        sl = by_frame[frame_starts[c]:frame_starts[c + 1]]
+        pt2d_idx[sl] = np.arange(len(sl))
+
     with open(os.path.join(out_dir, "images.txt"), "w") as f:
         f.write("# IMAGE_ID QW QX QY QZ TX TY TZ CAMERA_ID NAME\n"
                 "# POINTS2D[] as (X, Y, POINT3D_ID)\n")
@@ -121,28 +133,22 @@ def save_colmap(engine, out_dir: str) -> str:
             t = np.asarray(t, np.float64).reshape(3)
             f.write(f"{c + 1} {q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f} "
                     f"{t[0]:.6f} {t[1]:.6f} {t[2]:.6f} {c + 1} frame_{c + 1}.jpg\n")
-            m = frames == c
+            sl = by_frame[frame_starts[c]:frame_starts[c + 1]]
             parts = [
-                f"{x:.3f} {y:.3f} {int(tr) + 1}"
-                for (x, y), tr in zip(xy[m], tracks[m])
+                f"{xy[o, 0]:.3f} {xy[o, 1]:.3f} {int(tracks[o]) + 1}"
+                for o in sl
             ]
             f.write(" ".join(parts) + "\n")
 
     with open(os.path.join(out_dir, "points3D.txt"), "w") as f:
         f.write("# POINT3D_ID X Y Z R G B ERROR TRACK[] as (IMAGE_ID, POINT2D_IDX)\n")
-        # Per-frame running 2-D index (order of POINTS2D lines above).
-        obs_order = np.lexsort((np.arange(len(frames)), frames))
-        pt2d_idx = np.zeros(len(frames), np.int64)
-        counts: dict = {}
-        for o in obs_order:
-            c = int(frames[o])
-            pt2d_idx[o] = counts.get(c, 0)
-            counts[c] = pt2d_idx[o] + 1
+        by_track = np.argsort(tracks, kind="stable")
+        track_starts = np.searchsorted(tracks[by_track],
+                                       np.arange(len(pts) + 1))
         for p in range(len(pts)):
-            m = tracks == p
+            sl = by_track[track_starts[p]:track_starts[p + 1]]
             track_items = " ".join(
-                f"{int(fr) + 1} {int(ix)}"
-                for fr, ix in zip(frames[m], pt2d_idx[m])
+                f"{int(frames[o]) + 1} {int(pt2d_idx[o])}" for o in sl
             )
             x, y, z = pts[p]
             f.write(f"{p + 1} {x:.6f} {y:.6f} {z:.6f} 128 128 128 1.0 {track_items}\n")

@@ -99,4 +99,8 @@ def retrieval_similarity(
     emb = vlad_embeddings(descs, mask, centers)
     S = emb @ emb.T
     C = S.shape[0]
-    return S - 2.0 * jnp.eye(C, dtype=S.dtype)
+    # Diagonal forced BELOW every possible masked/real value (cosine >= -1,
+    # mask floor -2): a -1 diagonal can still land in top-k when k exceeds
+    # the candidate count (small keyframe sets) and propose a degenerate
+    # self-pair.
+    return S - 3.0 * jnp.eye(C, dtype=S.dtype)

@@ -203,13 +203,12 @@ class GlobalSfmEngine(SfmEngine):
             kfs.append(self.max_img)
         return kfs
 
-    def _select_keyframes(self, feats: Features) -> None:
-        """Flow-adaptive keyframe selection: match every consecutive pair
-        (one batched program), measure the median matched-keypoint
-        displacement, and start a new keyframe whenever accumulated flow
-        since the last one reaches the target (default 5% of the image
-        diagonal) — non-uniform camera speeds get non-uniform keyframes."""
-        C = self.max_img
+    def _match_pair_chunks(self, feats: Features, pair_list):
+        """Yield ``(chunk, match_result, p1, p2)`` over ``pair_list`` in
+        VMEM-budgeted pow2 buckets — the one chunked-matching loop shared by
+        flow keyframe selection and PnP registration (``_match_pairs`` keeps
+        its own loop: it persists per-pair cache entries and interleaves the
+        F-RANSAC filter per bucket)."""
         mcfg = self.config.matcher
         D_all = feats.descriptors
         M_all = feats.keypoints.mask
@@ -217,11 +216,8 @@ class GlobalSfmEngine(SfmEngine):
         YF = feats.keypoints.yf
         Kcap = int(D_all.shape[1])
         maxb = int(max(8, min(128, (384 << 20) // max(Kcap * Kcap * 4, 1))))
-        consec = [(i, i + 1) for i in range(1, C)]
-        flows = np.zeros(len(consec))
-        pend = []
-        for c0 in range(0, len(consec), maxb):
-            chunk = consec[c0 : c0 + maxb]
+        for c0 in range(0, len(pair_list), maxb):
+            chunk = pair_list[c0 : c0 + maxb]
             B = _pow2_bucket(len(chunk), maxb)
             pad = chunk + [chunk[-1]] * (B - len(chunk))
             pi = jnp.asarray([p[0] - 1 for p in pad], jnp.int32)
@@ -231,6 +227,19 @@ class GlobalSfmEngine(SfmEngine):
                 ratio_threshold=mcfg.ratio_threshold,
                 max_matches=mcfg.max_matches,
             )
+            yield chunk, res, p1, p2
+
+    def _select_keyframes(self, feats: Features) -> None:
+        """Flow-adaptive keyframe selection: match every consecutive pair
+        (one batched program), measure the median matched-keypoint
+        displacement, and start a new keyframe whenever accumulated flow
+        since the last one reaches the target (default 5% of the image
+        diagonal) — non-uniform camera speeds get non-uniform keyframes."""
+        C = self.max_img
+        consec = [(i, i + 1) for i in range(1, C)]
+        flows = np.zeros(len(consec))
+        pend = []
+        for chunk, res, p1, p2 in self._match_pair_chunks(feats, consec):
             # Median displacement of masked matches, on device.
             d = jnp.linalg.norm(p2 - p1, axis=-1)
             d = jnp.where(res.mask, d, jnp.nan)
@@ -300,7 +309,7 @@ class GlobalSfmEngine(SfmEngine):
             Svals = np.asarray(jax.device_get(jnp.take_along_axis(S, jnp.asarray(nbr), 1)))
             for i in range(C):
                 for col, j in enumerate(nbr[i]):
-                    if Svals[i, col] <= -1.5:   # masked row/col — no edge
+                    if int(j) == i or Svals[i, col] <= -1.5:  # self/masked
                         continue
                     a, b = i + 1, int(j) + 1
                     pairs.add((min(a, b), max(a, b)))
@@ -1041,10 +1050,13 @@ class GlobalSfmEngine(SfmEngine):
         # observation table; -1 where the slot has no surviving track).
         cap = feats.keypoints.capacity
         slot_track = {k: np.full(cap, -1, np.int64) for k in kfs}
-        for c, s, t in zip(self._obs_cam, self._obs_kp, self._obs_pt):
-            img = int(c) + 1
-            if img in slot_track:
-                slot_track[img][int(s)] = int(t)
+        obs_img = np.asarray(self._obs_cam, np.int64) + 1
+        for k in kfs:
+            m = obs_img == k
+            if m.any():
+                slot_track[k][np.asarray(self._obs_kp)[m]] = (
+                    np.asarray(self._obs_pt, np.int64)[m]
+                )
 
         # Registration pairs: (keyframe, frame) with the two nearest keyframes.
         reg_pairs = []
@@ -1055,28 +1067,11 @@ class GlobalSfmEngine(SfmEngine):
                 if k is not None:
                     reg_pairs.append((k, f))
 
-        mcfg = self.config.matcher
         rcfg = self.config.ransac
-        D_all = feats.descriptors
-        M_all = feats.keypoints.mask
-        XF = feats.keypoints.xf
-        YF = feats.keypoints.yf
-        Kcap = int(D_all.shape[1])
-        maxb = int(max(8, min(128, (384 << 20) // max(Kcap * Kcap * 4, 1))))
         results = {}
         pend = []
-        for c0 in range(0, len(reg_pairs), maxb):
-            chunk = reg_pairs[c0 : c0 + maxb]
-            B = _pow2_bucket(len(chunk), maxb)
-            pad = chunk + [chunk[-1]] * (B - len(chunk))
-            pi = jnp.asarray([p[0] - 1 for p in pad], jnp.int32)
-            pj = jnp.asarray([p[1] - 1 for p in pad], jnp.int32)
-            res, p1, p2 = match_pairs_batch(
-                D_all, M_all, XF, YF, pi, pj,
-                ratio_threshold=mcfg.ratio_threshold,
-                max_matches=mcfg.max_matches,
-            )
-            keys = jax.random.split(self._next_key(), B)
+        for chunk, res, p1, p2 in self._match_pair_chunks(feats, reg_pairs):
+            keys = jax.random.split(self._next_key(), res.mask.shape[0])
             fres = ransac_fundamental_adaptive_batch(
                 keys, p1, p2, res.mask,
                 max_hypotheses=rcfg.max_hypotheses(),
@@ -1170,10 +1165,13 @@ class GlobalSfmEngine(SfmEngine):
 
     # ------------------------------------------------------------------ driver
 
+    def _prepare_pair_selection(self, feats: Features) -> None:
+        if self.keyframe_step == "auto" and self._auto_kfs is None:
+            self._select_keyframes(feats)
+
     def run(self) -> "GlobalSfmEngine":
         feats = self._extract_all_features()
-        if self.keyframe_step == "auto":
-            self._select_keyframes(feats)
+        self._prepare_pair_selection(feats)
         self._match_pairs(feats)
         self._relative_poses()
         self._motion_averaging()

@@ -427,6 +427,12 @@ class SfmEngine:
         self.stage_times["features"] = time.time() - t0
         return feats
 
+    def _prepare_pair_selection(self, feats: Features) -> None:
+        """Hook before pair selection (no-op here); GlobalSfmEngine's
+        flow-adaptive keyframe selection runs here so BOTH run() and
+        match_graph_shard() agree on the candidate-pair set — shard hosts
+        must cache exactly the pairs the final run will resume."""
+
     def _candidate_pairs(self, feats: Features):
         """Image pairs to match: the sequential window (reference
         Runner.py:183-184 is the w=1 case). Engines for unordered collections
@@ -893,9 +899,12 @@ class SfmEngine:
 
         problem = pad_problem(problem)
         ba_cfg = self.config.ba
-        if self.refine_focal and not (
+        if self.refine_focal and stage == "ba" and not (
             self.mesh is not None and "data" in self.mesh.shape
         ):
+            # Full global BA only: scaling K mid-chain (windowed/local BA)
+            # would leave _intrinsics() registering later frames with the
+            # UNSCALED EXIF K against structure optimized at the scaled one.
             # Self-calibrating BA: shared focal scale optimized JOINTLY via
             # the bordered Schur system (ba/selfcal.py) — alternating a 1-D
             # refit with fixed-K BA cannot work (the converged poses absorb
@@ -925,7 +934,7 @@ class SfmEngine:
         elif self.mesh is not None and "data" in self.mesh.shape:
             from sfmfromscratch_tpu.parallel.sharded_ba import bundle_adjust_sharded
 
-            if self.refine_focal:
+            if self.refine_focal and stage == "ba":
                 self.warnings.append(
                     "refine_focal is single-device only; ignored on the mesh"
                 )
@@ -1107,6 +1116,7 @@ class SfmEngine:
         )
         eng._pair_shard = (shard, num_shards)
         feats = eng._extract_all_features()
+        eng._prepare_pair_selection(feats)
         eng._match_pairs(feats)
         # Pairs actually matched by THIS run (cache-resumed pairs excluded).
         return eng._last_match_computed
