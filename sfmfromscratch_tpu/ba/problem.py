@@ -139,6 +139,26 @@ def _project_one(cam: jax.Array, X: jax.Array, K: jax.Array) -> jax.Array:
     return h[:2] / z
 
 
+def project_one_dist(
+    cam: jax.Array, X: jax.Array, K: jax.Array, s, k1
+) -> jax.Array:
+    """Projection with a shared focal scale ``s`` and one radial distortion
+    coefficient ``k1`` (normalized coordinates, COLMAP SIMPLE_RADIAL
+    convention): x_d = x_n (1 + k1 r^2), pix = s*f*x_d + c. Zero-skew K
+    assumed (every K construction path here builds one). With s=1, k1=0 this
+    equals `_project_one` up to float reassociation — the self-calibrating
+    solver (ba/selfcal.py) is its only consumer."""
+    R = so3_exp(cam[:3])
+    p = R @ X + cam[3:]
+    z = jnp.where(jnp.abs(p[2]) < 1e-12, 1e-12, p[2])
+    xn = p[:2] / z
+    r2 = jnp.sum(xn * xn)
+    xd = xn * (1.0 + k1 * r2)
+    f = jnp.stack([K[0, 0], K[1, 1]]) * s
+    c = K[:2, 2]
+    return f * xd + c
+
+
 def residuals(problem: BAProblem, cam_params: jax.Array, points: jax.Array) -> jax.Array:
     """(O, 2) weighted reprojection residuals (projected - observed),
     matching the reference's residual convention (SFM.py:460-462)."""
