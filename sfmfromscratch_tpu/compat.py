@@ -65,21 +65,22 @@ class CameraPose:
 
     def ransac_camera_motion(self, R_base, T_base, threshold=1.0, max_iterations=1000,
                              seed: int = 5):
-        """Vectorized replacement for the reference's hypothesis loop. The base
-        pose must be canonical (R=I, t=0), as in the reference's only call site
-        (Runner.py:202-203); returns (R, t, inlier_pts1, inlier_pts2)."""
+        """Vectorized replacement for the reference's hypothesis loop. Accepts
+        any base pose, like the reference signature (SFM.py:38-44): the base
+        enters only the cheirality check (SFM.py:105-124); the reference's only
+        call site is canonical (Runner.py:202-203). Returns
+        (R, t, inlier_pts1, inlier_pts2)."""
         if len(self.pts1) < 8:
             return None, None, None, None
-        R_base = np.asarray(R_base)
-        if not (np.allclose(R_base, np.eye(3)) and np.allclose(T_base, 0)):
-            raise NotImplementedError(
-                "non-canonical base poses are not used by the reference pipeline"
-            )
+        R_base = np.asarray(R_base, dtype=np.float64)
+        T_base = np.asarray(T_base, dtype=np.float64).reshape(3)
+        canonical = np.allclose(R_base, np.eye(3)) and np.allclose(T_base, 0)
+        base_kw = {} if canonical else dict(R_base=_f32(R_base), t_base=_f32(T_base))
         res = _ransac_pose(
             jax.random.key(seed), _f32(self.pts1), _f32(self.pts2),
             _f32(self.K1), _f32(self.K2),
             num_hypotheses=int(max_iterations), threshold=float(threshold),
-            min_cheirality_frac=1.0,
+            min_cheirality_frac=1.0, **base_kw,
         )
         inl = np.asarray(res.inliers)
         return (

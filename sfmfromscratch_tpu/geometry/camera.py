@@ -39,6 +39,20 @@ SENSOR_DIMS_MM = {
 }
 
 
+def focal_length_from_exif(exif_data) -> Optional[float]:
+    """Extract the focal length in mm from an EXIF tag dict, handling both the
+    rational-tuple form (num, den) older PIL versions return and the
+    IFDRational/float form modern Pillow returns (reference SFM.py:326-342).
+    Returns None when no FocalLength tag is present.
+    """
+    from PIL.ExifTags import TAGS
+
+    for tag_id, value in exif_data.items():
+        if TAGS.get(tag_id, tag_id) == "FocalLength":
+            return value[0] / value[1] if isinstance(value, tuple) else float(value)
+    return None
+
+
 def intrinsics_from_exif(image_path: str, sensor_type: SensorType) -> np.ndarray:
     """Build the 3x3 intrinsic matrix K from a photo's EXIF focal length and the
     physical sensor size (reference SFM.py:311-374). Host-side (PIL).
@@ -47,7 +61,6 @@ def intrinsics_from_exif(image_path: str, sensor_type: SensorType) -> np.ndarray
     (SFM.py:336-342).
     """
     from PIL import Image
-    from PIL.ExifTags import TAGS
 
     with Image.open(image_path) as image:
         width, height = image.size
@@ -56,11 +69,7 @@ def intrinsics_from_exif(image_path: str, sensor_type: SensorType) -> np.ndarray
     if not exif_data:
         raise ValueError(f"No EXIF data in {image_path}; cannot derive intrinsics")
 
-    focal_length = None
-    for tag_id, value in exif_data.items():
-        if TAGS.get(tag_id, tag_id) == "FocalLength":
-            focal_length = value[0] / value[1] if isinstance(value, tuple) else float(value)
-            break
+    focal_length = focal_length_from_exif(exif_data)
     if focal_length is None:
         raise ValueError(f"No EXIF focal length in {image_path}; cannot derive intrinsics")
 

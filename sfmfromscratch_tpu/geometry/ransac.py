@@ -315,6 +315,8 @@ def ransac_essential_pose(
     sample_size: int = 8,
     min_cheirality_frac: float = 1.0,
     cheirality_subset: int = 1024,
+    R_base: Optional[jax.Array] = None,
+    t_base: Optional[jax.Array] = None,
 ) -> RansacPoseResult:
     """Relative-pose RANSAC — the reference's ``ransac_camera_motion``
     (SFM.py:38-103) fully vectorized.
@@ -324,8 +326,13 @@ def ransac_essential_pose(
     is 'strict' when its winner has a cheirality fraction >= ``min_cheirality_frac``
     (the reference demands 1.0, SFM.py:105-124). Strict hypotheses are ranked by
     epipolar inlier count; if none is strict, the max-cheirality hypothesis wins.
-    The base camera is canonical (R=I, t=0), as in the pipeline's only use
-    (Runner.py:202-203).
+    By default the base camera is canonical (R=I, t=0), as in the pipeline's
+    only use (Runner.py:202-203). A non-canonical base (``R_base``/``t_base``)
+    reproduces the reference signature's full surface (SFM.py:38-44): the base
+    pose enters only the cheirality check, where the reference triangulates
+    with P1 = K1[R_base|t_base] and P2 = K2[R_cand|t_cand] (SFM.py:105-124) —
+    equivalent to a canonical-frame depth test under the transformed candidate
+    R' = R_cand R_base^T, t' = t_cand - R' t_base.
 
     Cheirality is evaluated on the first ``cheirality_subset`` correspondences
     (matches arrive sorted best-first, so this is the highest-confidence
@@ -346,10 +353,20 @@ def ransac_essential_pose(
     Rc = jnp.stack([R1, R1, R2, R2], axis=1)                 # (B, 4, 3, 3)
     tc = jnp.stack([t, -t, t, -t], axis=1)                   # (B, 4, 3)
 
+    def che_pose(Rcand, tcand):
+        """Pose used for the depth test; identity map for a canonical base."""
+        if R_base is None:
+            return Rcand, tcand
+        Rb = jnp.asarray(R_base, Rcand.dtype)
+        tb = jnp.asarray(t_base, tcand.dtype)
+        Rr = Rcand @ Rb.T
+        tr = tcand - jnp.einsum("...ij,j->...i", Rr, tb)
+        return Rr, tr
+
     ns = min(cheirality_subset, n)
     p1_s, p2_s, mask_s = p1[:ns], p2[:ns], mask[:ns]
     n_valid_s = jnp.sum(mask_s)
-    z1, z2 = two_view_depths(Rc, tc, p1_s, p2_s, K1, K2)     # (B, 4, ns)
+    z1, z2 = two_view_depths(*che_pose(Rc, tc), p1_s, p2_s, K1, K2)  # (B, 4, ns)
     eps = 1e-6
     front = (z1 > eps) & (z2 > eps) & mask_s[None, None, :]
     che_count = jnp.sum(front, axis=-1)                      # (B, 4)
@@ -398,7 +415,7 @@ def ransac_essential_pose(
     R1f, R2f, tf = decompose_essential(E_f)
     Rcf = jnp.stack([R1f, R1f, R2f, R2f], axis=1)[0]         # (4, 3, 3)
     tcf = jnp.stack([tf, -tf, tf, -tf], axis=1)[0]           # (4, 3)
-    z1f, z2f = two_view_depths(Rcf, tcf, p1_s, p2_s, K1, K2) # (4, ns)
+    z1f, z2f = two_view_depths(*che_pose(Rcf, tcf), p1_s, p2_s, K1, K2)  # (4, ns)
     front_f = (z1f > eps) & (z2f > eps) & mask_s[None, :]
     che_f = jnp.sum(front_f, axis=-1)                        # (4,)
     cand = jnp.argmax(che_f)

@@ -102,7 +102,18 @@ def detect_harris_keypoints(
     candidate = is_local_max & in_bounds
     neg_inf = jnp.asarray(-jnp.inf, dtype=R.dtype)
     score = jnp.where(candidate, R, neg_inf).reshape(-1)
-    top_scores, top_idx = jax.lax.top_k(score, k)
+    # Tiny images (small pyramid levels / aggressive scale_factor) can hold
+    # fewer pixels than the keypoint budget; keep the fixed-capacity contract
+    # by padding the tail with masked-out slots.
+    k_eff = min(k, score.shape[0])
+    top_scores, top_idx = jax.lax.top_k(score, k_eff)
+    if k_eff < k:
+        top_scores = jnp.concatenate(
+            [top_scores, jnp.full((k - k_eff,), neg_inf, dtype=R.dtype)]
+        )
+        top_idx = jnp.concatenate(
+            [top_idx, jnp.zeros((k - k_eff,), dtype=top_idx.dtype)]
+        )
     y = (top_idx // W).astype(jnp.int32)
     x = (top_idx % W).astype(jnp.int32)
     mask = top_scores > neg_inf

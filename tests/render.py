@@ -76,15 +76,23 @@ def render_sequence(
     return images, K, poses, X
 
 
-def write_sequence(tmpdir, images):
+def write_sequence(tmpdir, images, exif_focal_mm=None):
     """Write images as 1.jpg..N.jpg (the reference's naming contract,
-    Runner.py:340-346)."""
+    Runner.py:340-346). With ``exif_focal_mm``, embed an EXIF FocalLength tag
+    so the EXIF-intrinsics path (reference SFM.py:311-374) can be exercised on
+    real files."""
     import os
     from PIL import Image
 
     for i, img in enumerate(images, start=1):
         arr = (np.stack([img] * 3, -1) * 255).astype(np.uint8)
-        Image.fromarray(arr).save(os.path.join(tmpdir, f"{i}.jpg"), quality=95)
+        im = Image.fromarray(arr)
+        kwargs = dict(quality=95)
+        if exif_focal_mm is not None:
+            exif = Image.Exif()
+            exif[0x920A] = float(exif_focal_mm)  # FocalLength
+            kwargs["exif"] = exif
+        im.save(os.path.join(tmpdir, f"{i}.jpg"), **kwargs)
 
 
 def render_planes(
