@@ -35,7 +35,20 @@ from sfmfromscratch_tpu.types import Features, Keypoints
 if nn is not None:
 
     class SuperPointNet(nn.Module):
-        """VGG-style encoder + detector/descriptor heads (SuperPoint, CVPRW'18)."""
+        """VGG-style encoder + detector/descriptor heads (SuperPoint, CVPRW'18).
+
+        Default widths match the MagicLeap checkpoint layout; the slimmer
+        ``tiny()`` configuration (~330k params, 128-D descriptors — the same
+        dimensionality as the SIFT frontend, so every matcher path takes it
+        unchanged) is what ops/sp_train.py trains from scratch on synthetic
+        corners + homography pairs."""
+
+        channels: Tuple[int, int, int, int, int] = (64, 64, 128, 128, 256)
+        desc_dim: int = 256
+
+        @classmethod
+        def tiny(cls) -> "SuperPointNet":
+            return cls(channels=(32, 32, 64, 64, 128), desc_dim=128)
 
         @nn.compact
         def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -43,7 +56,7 @@ if nn is not None:
             def conv(x, features, name):
                 return nn.Conv(features, (3, 3), padding="SAME", name=name)(x)
 
-            c1, c2, c3, c4, c5 = 64, 64, 128, 128, 256
+            c1, c2, c3, c4, c5 = self.channels
             x = nn.relu(conv(x, c1, "conv1a"))
             x = nn.relu(conv(x, c1, "conv1b"))
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
@@ -60,9 +73,9 @@ if nn is not None:
             d = nn.relu(nn.Conv(c5, (3, 3), padding="SAME", name="convPa")(x))
             semi = nn.Conv(65, (1, 1), padding="VALID", name="convPb")(d)
 
-            # Descriptor head: 256-D per cell, bilinearly sampled per keypoint.
+            # Descriptor head: desc_dim per cell, bilinearly sampled per keypoint.
             e = nn.relu(nn.Conv(c5, (3, 3), padding="SAME", name="convDa")(x))
-            desc = nn.Conv(256, (1, 1), padding="VALID", name="convDb")(e)
+            desc = nn.Conv(self.desc_dim, (1, 1), padding="VALID", name="convDb")(e)
             desc = desc / jnp.maximum(
                 jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-10
             )
@@ -91,6 +104,46 @@ def load_magicleap_weights(pth_path: str) -> Dict[str, Any]:
     return {"params": params}
 
 
+def save_flax_weights(path: str, variables: Dict[str, Any],
+                      channels, desc_dim: int) -> None:
+    """Persist flax params + architecture config as one npz (the in-repo
+    checkpoint format for synthetically-trained nets, ops/sp_train.py)."""
+    flat = {}
+    for layer, p in variables["params"].items():
+        for k, v in p.items():
+            flat[f"{layer}.{k}"] = np.asarray(v)
+    np.savez_compressed(
+        path, __channels__=np.asarray(channels, np.int32),
+        __desc_dim__=np.asarray(desc_dim, np.int32), **flat,
+    )
+
+
+def load_flax_weights(path: str) -> Tuple[Dict[str, Any], "SuperPointNet"]:
+    """Load an npz checkpoint written by save_flax_weights; returns
+    (variables, net) with the architecture the checkpoint was trained at."""
+    z = np.load(path)
+    channels = tuple(int(c) for c in z["__channels__"])
+    desc_dim = int(z["__desc_dim__"])
+    params: Dict[str, Any] = {}
+    for key in z.files:
+        if key.startswith("__"):
+            continue
+        layer, leaf = key.rsplit(".", 1)
+        params.setdefault(layer, {})[leaf] = jnp.asarray(z[key])
+    net = SuperPointNet(channels=channels, desc_dim=desc_dim)
+    return {"params": params}, net
+
+
+def default_weights_path() -> Optional[str]:
+    """The in-repo synthetically-trained TinyPoint checkpoint, if present."""
+    import os
+
+    p = os.path.join(os.path.dirname(__file__), "..", "weights",
+                     "tinypoint_synth.npz")
+    p = os.path.abspath(p)
+    return p if os.path.exists(p) else None
+
+
 def _cells_to_heatmap(semi: jax.Array) -> jax.Array:
     """(Hc, Wc, 65) detector logits -> (Hc*8, Wc*8) probability map
     (drop the dustbin, softmax over the 65 classes, unshuffle 8x8 cells)."""
@@ -107,13 +160,22 @@ class SuperPointExtractor:
     feats = extractor(image_bw, k=1024)
     """
 
-    def __init__(self, weights_path: Optional[str] = None, seed: int = 0):
+    def __init__(self, weights_path: Optional[str] = "auto", seed: int = 0):
+        """``weights_path``: "auto" uses the in-repo synthetically-trained
+        TinyPoint checkpoint when present (random init otherwise); an .npz
+        path loads a save_flax_weights checkpoint; a .pth path converts the
+        MagicLeap torch checkpoint; None forces random init."""
         if nn is None:  # pragma: no cover
             raise RuntimeError("flax unavailable")
-        self.net = SuperPointNet()
-        if weights_path:
+        if weights_path == "auto":
+            weights_path = default_weights_path()
+        if weights_path and str(weights_path).endswith(".npz"):
+            self.variables, self.net = load_flax_weights(weights_path)
+        elif weights_path:
+            self.net = SuperPointNet()
             self.variables = load_magicleap_weights(weights_path)
         else:
+            self.net = SuperPointNet()
             dummy = jnp.zeros((1, 120, 160, 1), jnp.float32)
             self.variables = self.net.init(jax.random.key(seed), dummy)
         net = self.net

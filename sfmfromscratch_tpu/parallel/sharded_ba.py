@@ -62,11 +62,19 @@ def bundle_adjust_sharded(
     damping_down: float = 0.5,
     ftol: float = 1e-2,
     huber_delta: float = 0.0,
-) -> BAResult:
+    selfcal: bool = False,
+):
     """LM + Schur/CG with observation shards on ``axis``. Cameras and points
     are replicated (they are tiny next to the observations). ``huber_delta``
     matches the single-device solver's robust IRLS loss (0 = plain least
-    squares)."""
+    squares).
+
+    ``selfcal=True`` adds the shared-focal-scale border of
+    ba/selfcal.py to the sharded system (VERDICT round-1 item 7): the border
+    terms (Hss, gs, Wsp, Hsc) are local segment-sums psum-reduced like every
+    other normal-equation block, and the bordered solve costs a second CG on
+    the same psum-per-matvec operator. Returns ``(BAResult, s)`` instead of
+    ``BAResult``."""
     num_shards = mesh.shape[axis] * (
         int(np.prod([s for n, s in mesh.shape.items() if n != axis]))
     )
@@ -82,39 +90,58 @@ def bundle_adjust_sharded(
 
     def lm_program(cam0, pts0, K, obs_cam, obs_pt, obs_xy, obs_w, cam_fixed):
         """Runs per-shard under shard_map; obs_* are local shards."""
-        local = BAProblem(
+        base = BAProblem(
             cam_params=cam0, points=pts0, K=K,
             obs_cam=obs_cam, obs_pt=obs_pt, obs_xy=obs_xy, obs_w=obs_w,
             cam_fixed=cam_fixed,
         )
 
-        def cost_fn(cam, pts):
+        def scaled(s):
+            if not selfcal:
+                return base
+            return base._replace(K=K.at[:, 0, 0].mul(s).at[:, 1, 1].mul(s))
+
+        def cost_fn(cam, pts, s):
+            local = scaled(s)
             if huber_delta > 0:
                 return jax.lax.psum(
                     robust_cost(local, cam, pts, huber_delta), axis
                 )
             return jax.lax.psum(total_cost(local, cam, pts), axis)
 
-        def mean_err(cam, pts):
+        def mean_err(cam, pts, s):
             # weighted mean across shards
             from sfmfromscratch_tpu.ba.problem import residuals
 
+            local = scaled(s)
             r = residuals(local, cam, pts)
             w = local.obs_w
             err = jnp.linalg.norm(r, axis=-1) / jnp.maximum(w, 1e-12)
             err = jnp.where(w > 0, err, 0.0)
-            s = jax.lax.psum(jnp.sum(err), axis)
+            tot = jax.lax.psum(jnp.sum(err), axis)
             n = jax.lax.psum(jnp.sum((w > 0).astype(r.dtype)), axis)
-            return s / jnp.maximum(n, 1.0)
+            return tot / jnp.maximum(n, 1.0)
 
         def lm_step(state):
-            cam, pts, lam, cost, it, done = state
+            cam, pts, s, lam, cost, it, done = state
+            local = scaled(s)
             Jc, Jp, r = jacobian_blocks(local, cam, pts)
+            if selfcal:
+                # d r / d s analytically (ba/selfcal.py): r = w (proj - obs);
+                # d proj / d s = (proj - principal_point) / s.
+                w = local.obs_w
+                proj = jnp.where(
+                    (w > 0)[:, None], r / jnp.maximum(w, 1e-12)[:, None], 0.0
+                ) + local.obs_xy
+                pp = local.K[obs_cam][:, :2, 2]
+                Js = jnp.where((w > 0)[:, None], (proj - pp) / s * w[:, None], 0.0)
             if huber_delta > 0:
                 hw = huber_weights(r, huber_delta)
                 r = r * hw[:, None]
                 Jc = Jc * hw[:, None, None]
                 Jp = Jp * hw[:, None, None]
+                if selfcal:
+                    Js = Js * hw[:, None]
             UtU = jnp.einsum("oki,okj->oij", Jc, Jc)
             VtV = jnp.einsum("oki,okj->oij", Jp, Jp)
             W = jnp.einsum("oki,okj->oij", Jc, Jp)
@@ -155,45 +182,80 @@ def bundle_adjust_sharded(
             e_rhs = jax.lax.psum(jax.ops.segment_sum(dtmp, obs_cam, num_segments=C), axis)
             b_rhs = (gc - e_rhs).reshape(-1)
 
-            dc = conjugate_gradient(
-                matvec, b_rhs, num_iters=cg_iters, precond=pc
-            ).reshape(C, 6)
+            if selfcal:
+                # Bordered Schur system (ba/selfcal.py): border blocks are
+                # local segment-sums psum-reduced like U/V/W above.
+                eps = 1e-8
+                Hss = jax.lax.psum(jnp.sum(Js * Js), axis)
+                Hss_d = Hss * (1.0 + lam) + eps
+                gs = jax.lax.psum(jnp.sum(Js * r), axis)
+                Wsp = jax.lax.psum(jax.ops.segment_sum(
+                    jnp.einsum("ok,okj->oj", Js, Jp), obs_pt, num_segments=Pn
+                ), axis)                                            # (P, 3)
+                Hsc = jax.lax.psum(jax.ops.segment_sum(
+                    jnp.einsum("ok,oki->oi", Js, Jc), obs_cam, num_segments=C
+                ), axis)                                            # (C, 6)
+                VinvWsp = jnp.einsum("pij,pj->pi", Vinv, Wsp)       # replicated
+                d_o = jnp.einsum("oij,oj->oi", W, VinvWsp[obs_pt])
+                q = Hsc - jax.lax.psum(
+                    jax.ops.segment_sum(d_o, obs_cam, num_segments=C), axis)
+                hss_red = Hss_d - jnp.sum(Wsp * VinvWsp)
+                b_s = gs - jnp.sum(Wsp * cvp)
+
+                u = conjugate_gradient(matvec, b_rhs, num_iters=cg_iters, precond=pc)
+                v = conjugate_gradient(matvec, q.reshape(-1), num_iters=cg_iters, precond=pc)
+                qf = q.reshape(-1)
+                denom = hss_red - jnp.vdot(qf, v)
+                ds = (b_s - jnp.vdot(qf, u)) / jnp.where(
+                    jnp.abs(denom) < 1e-12, 1e-12, denom
+                )
+                dc = (u - ds * v).reshape(C, 6)
+            else:
+                ds = jnp.asarray(0.0, pts.dtype)
+                dc = conjugate_gradient(
+                    matvec, b_rhs, num_iters=cg_iters, precond=pc
+                ).reshape(C, 6)
             a2 = jnp.einsum("oji,oj->oi", W, dc[obs_cam])
             b2 = jax.lax.psum(jax.ops.segment_sum(a2, obs_pt, num_segments=Pn), axis)
             dp = jnp.einsum("pij,pj->pi", Vinv, gp - b2)
+            if selfcal:
+                dp = dp - ds * VinvWsp
 
             dc = jnp.where(cam_fixed[:, None], 0.0, dc)
             cam_new = cam - dc
             pts_new = pts - dp
-            new_cost = cost_fn(cam_new, pts_new)
+            s_new = jnp.clip(s - ds, 0.5, 2.0) if selfcal else s
+            new_cost = cost_fn(cam_new, pts_new, s_new)
             finite = jnp.isfinite(new_cost)
             improved = (new_cost < cost) & finite
             cam = jnp.where(improved, cam_new, cam)
             pts = jnp.where(improved, pts_new, pts)
+            s = jnp.where(improved, s_new, s)
             lam = jnp.where(improved, lam * damping_down, lam * damping_up)
             rel = (cost - new_cost) / jnp.maximum(cost, 1e-20)
             done = done | (improved & (rel < ftol))
             cost = jnp.where(improved, new_cost, cost)
-            return cam, pts, lam, cost, it + 1, done
+            return cam, pts, s, lam, cost, it + 1, done
 
         def cond(state):
             *_, it, done = state
             return (it < max_iters) & jnp.logical_not(done)
 
-        cost0 = cost_fn(cam0, pts0)
-        err0 = mean_err(cam0, pts0)
-        state = (cam0, pts0, jnp.asarray(init_damping, pts0.dtype), cost0,
+        s0 = jnp.asarray(1.0, pts0.dtype)
+        cost0 = cost_fn(cam0, pts0, s0)
+        err0 = mean_err(cam0, pts0, s0)
+        state = (cam0, pts0, s0, jnp.asarray(init_damping, pts0.dtype), cost0,
                  jnp.asarray(0), jnp.asarray(False))
-        cam, pts, _, cost, it, _ = jax.lax.while_loop(cond, lm_step, state)
-        err1 = mean_err(cam, pts)
-        return cam, pts, cost0, cost, err0, err1, it
+        cam, pts, s, _, cost, it, _ = jax.lax.while_loop(cond, lm_step, state)
+        err1 = mean_err(cam, pts, s)
+        return cam, pts, s, cost0, cost, err0, err1, it
 
     in_specs = (rep, rep, rep, obs_spec, obs_spec, obs_spec, obs_spec, rep)
     fn = shard_map(
         lm_program,
         mesh=mesh,
         in_specs=in_specs,
-        out_specs=(rep, rep, rep, rep, rep, rep, rep),
+        out_specs=(rep, rep, rep, rep, rep, rep, rep, rep),
         check_vma=False,
     )
     args = (
@@ -208,8 +270,9 @@ def bundle_adjust_sharded(
         from sfmfromscratch_tpu.parallel.mesh import put_global
 
         args = tuple(put_global(a, mesh, s) for a, s in zip(args, in_specs))
-    cam, pts, c0, c1, e0, e1, it = jax.jit(mm_f32(fn))(*args)
-    return BAResult(
+    cam, pts, s, c0, c1, e0, e1, it = jax.jit(mm_f32(fn))(*args)
+    res = BAResult(
         cam_params=cam, points=pts, initial_cost=c0, final_cost=c1,
         initial_mean_error=e0, final_mean_error=e1, iterations_used=it,
     )
+    return (res, s) if selfcal else res

@@ -225,6 +225,51 @@ def _chain_scan_device(
     return rvecs, ts, oks, ninl, obs_track, obs_xy, points, n_points
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "boot_hyp", "stage_size", "adaptive", "pnp_hyp", "max_points",
+    "kp_capacity",
+))
+@mm_f32
+def _front_half_device(
+    boot_key, keys,
+    p1_all, p2_all, idx1_all, idx2_all,   # (1+Fp, M, ...) row 0 = pair (1,2)
+    mask12, mask_chain,                   # (M,), (Fp, M)
+    K1_0, K2_0, K2_chain, frame_valid,
+    threshold, reproj_threshold,
+    boot_hyp: int, stage_size: int, adaptive: bool,
+    pnp_hyp: int, max_points: int, kp_capacity: int,
+):
+    """STAGES B+C chained on device-resident STAGE-A outputs: bootstrap, the
+    bootstrap's track-table bookkeeping (the host work of
+    SfmEngine._bootstrap as fixed-shape array ops), then the whole PnP scan
+    chain — so the engine dispatches matching, bootstrap and chain back to
+    back and fetches ONCE (VERDICT round-1 item 5: stage overlap; kills the
+    bootstrap-fetch serialization of docs/PERFORMANCE.md round 1)."""
+    inl, X, rvec0, tvec0, P2_0 = _bootstrap_device(
+        boot_key, p1_all[0], p2_all[0], K1_0, K2_0, mask12,
+        boot_hyp, threshold, stage_size=stage_size, adaptive=adaptive,
+    )
+    # Device-side equivalent of MapStore.add_tracks id assignment (sequential
+    # over masked rows) + the kp->track table for image 2.
+    tid = jnp.cumsum(inl.astype(jnp.int32)) - 1
+    in_cap = inl & (tid < max_points)
+    points0 = jnp.zeros((max_points, 3), jnp.float32).at[
+        jnp.where(in_cap, tid, max_points)
+    ].set(X.astype(jnp.float32), mode="drop")
+    n0 = jnp.minimum(jnp.sum(inl.astype(jnp.int32)), max_points)
+    kp_tracks0 = jnp.full((kp_capacity,), -1, jnp.int32).at[
+        jnp.where(in_cap, idx2_all[0], kp_capacity)
+    ].set(tid, mode="drop")
+
+    scan_out = _chain_scan_device(
+        keys, p1_all[1:], p2_all[1:], idx1_all[1:], idx2_all[1:],
+        mask_chain, K2_chain, frame_valid,
+        kp_tracks0, points0, n0, P2_0,
+        pnp_hyp, reproj_threshold, max_points, kp_capacity,
+    )
+    return (inl, X, rvec0, tvec0) + scan_out
+
+
 class SfmEngine:
     """Incremental SfM over an ordered image sequence.
 
@@ -459,58 +504,15 @@ class SfmEngine:
     def _pair_cache_file(self, i1: int, i2: int) -> str:
         return os.path.join(self.pair_cache_dir, f"pair_{i1}_{i2}.npz")
 
-    def _match_pairs(self, feats: Features) -> None:
-        """Pairwise matching + inlier filtering (STAGE A), fully batched.
-
-        Per-pair dispatches cost a host<->device round trip each (~25 ms on a
-        tunneled chip; 14 s of a 200-view run was per-pair matcher calls), so
-        the whole stage runs as a handful of device programs: per-image
-        features stay device-resident, each bucket of pairs is matched +
-        coordinate-gathered by ops.matcher.match_pairs_batch, the robust
-        F-RANSAC filter consumes those batch outputs directly, and ONE
-        stacked fetch per field brings the results to host numpy.
-        ``pair_geometry`` holds NUMPY arrays: downstream host bookkeeping
-        indexes them for free, and device stages re-upload them in one
-        stacked transfer per stage.
-        """
-        t0 = time.time()
+    def _match_dispatch(self, todo, feats: Features):
+        """Dispatch the bucketed match+filter device programs for ``todo``
+        pairs WITHOUT fetching; returns the bucket list
+        [(chunk_keys, MatchResult, mask_filt_or_None, p1, p2), ...]."""
         mcfg = self.config.matcher
         rcfg = self.config.ransac
-        pairs = self._candidate_pairs(feats)
-        if self._pair_shard is not None:
-            s, n = self._pair_shard
-            pairs = [k for e, k in enumerate(sorted(pairs)) if e % n == s]
-
-        # Resume: pairs already persisted by a previous (killed) run skip
-        # matching AND filtering. The RNG stream the filter consumes depends
-        # on how many pairs remain, so a resumed run is deterministic given
-        # its restart point but not bitwise-equal to an uninterrupted one.
-        cached: Dict[Tuple[int, int], dict] = {}
-        if self.pair_cache_dir:
-            os.makedirs(self.pair_cache_dir, exist_ok=True)
-            tag = self._pair_cache_tag()
-            for k in pairs:
-                f = self._pair_cache_file(*k)
-                if os.path.exists(f):
-                    try:
-                        z = np.load(f)
-                        if str(z["tag"]) == tag:
-                            cached[k] = {
-                                n: z[n] for n in ("p1", "p2", "idx1", "idx2", "mask")
-                            }
-                    except Exception:
-                        pass  # unreadable/partial file => recompute
-            if cached:
-                self.warnings.append(
-                    f"pair cache: resumed {len(cached)}/{len(pairs)} pairs"
-                )
-
-        todo = [k for k in pairs if k not in cached]
-        self._last_match_computed = len(todo)
         filter_on = getattr(self, "_filter_pairs", True)
-        filter_all = getattr(self, "_filter_all_pairs", False)
 
-        buckets = []     # (chunk_keys, idx, conf, mask_raw, mask_filt, p1, p2)
+        buckets = []
         if todo:
             D_all = feats.descriptors
             M_all = feats.keypoints.mask
@@ -552,7 +554,56 @@ class SfmEngine:
                         )
                     mask_filt = fres.inliers
                 buckets.append((chunk, res, mask_filt, p1, p2))
+        return buckets
 
+    def _match_pairs(self, feats: Features) -> None:
+        """Pairwise matching + inlier filtering (STAGE A), fully batched.
+
+        Per-pair dispatches cost a host<->device round trip each (~25 ms on a
+        tunneled chip; 14 s of a 200-view run was per-pair matcher calls), so
+        the whole stage runs as a handful of device programs: per-image
+        features stay device-resident, each bucket of pairs is matched +
+        coordinate-gathered by ops.matcher.match_pairs_batch, the robust
+        F-RANSAC filter consumes those batch outputs directly, and ONE
+        stacked fetch per field brings the results to host numpy.
+        ``pair_geometry`` holds NUMPY arrays: downstream host bookkeeping
+        indexes them for free, and device stages re-upload them in one
+        stacked transfer per stage.
+        """
+        t0 = time.time()
+        filter_all = getattr(self, "_filter_all_pairs", False)
+        pairs = self._candidate_pairs(feats)
+        if self._pair_shard is not None:
+            s, n = self._pair_shard
+            pairs = [k for e, k in enumerate(sorted(pairs)) if e % n == s]
+
+        # Resume: pairs already persisted by a previous (killed) run skip
+        # matching AND filtering. The RNG stream the filter consumes depends
+        # on how many pairs remain, so a resumed run is deterministic given
+        # its restart point but not bitwise-equal to an uninterrupted one.
+        cached: Dict[Tuple[int, int], dict] = {}
+        if self.pair_cache_dir:
+            os.makedirs(self.pair_cache_dir, exist_ok=True)
+            tag = self._pair_cache_tag()
+            for k in pairs:
+                f = self._pair_cache_file(*k)
+                if os.path.exists(f):
+                    try:
+                        z = np.load(f)
+                        if str(z["tag"]) == tag:
+                            cached[k] = {
+                                n: z[n] for n in ("p1", "p2", "idx1", "idx2", "mask")
+                            }
+                    except Exception:
+                        pass  # unreadable/partial file => recompute
+            if cached:
+                self.warnings.append(
+                    f"pair cache: resumed {len(cached)}/{len(pairs)} pairs"
+                )
+
+        todo = [k for k in pairs if k not in cached]
+        self._last_match_computed = len(todo)
+        buckets = self._match_dispatch(todo, feats)
         self.stage_times["matching.dispatch"] = time.time() - t0
         t1 = time.time()
         # ONE stacked fetch per field across all buckets (each device_get
@@ -620,6 +671,155 @@ class SfmEngine:
                 np.savez(tmp, tag=tag, p1=p1n, p2=p2n, idx1=i1n, idx2=i2n, mask=mn)
                 os.replace(tmp, f)
         self.stage_times["matching"] = time.time() - t0
+
+    def _try_run_front_fused(self, feats: Features) -> bool:
+        """STAGES A+B+C dispatched back to back on device-resident arrays
+        with ONE final fetch (pipeline stage overlap, VERDICT round-1 item 5).
+
+        The staged path serializes on the tunnel three times — matching
+        fetch, bootstrap fetch, chain upload+fetch — and re-uploads STAGE-A
+        outputs the device already holds. Here the bootstrap and the whole
+        PnP scan chain consume the matching buckets' device arrays directly
+        (_front_half_device), so host bookkeeping overlaps device compute and
+        per-stage round trips collapse into one fetch. RNG consumption order
+        matches the staged path exactly (bucket keys, bootstrap key, chain
+        keys), so results are identical.
+
+        Eligible for the default sequential configuration (scan chain,
+        window-1 consecutive pairs, no pair shard, no resume cache); anything
+        fancier falls back to the staged path. Returns False when not taken.
+        """
+        if self._pair_shard is not None or self.pair_cache_dir:
+            return False
+        if not self._use_scan_chain() or self.max_img < 3:
+            return False
+        pairs = self._candidate_pairs(feats)
+        if pairs != [(i, i + 1) for i in range(1, self.max_img)]:
+            return False
+
+        t0 = time.time()
+        rcfg = self.config.ransac
+        filter_on = getattr(self, "_filter_pairs", True)
+        filter_all = getattr(self, "_filter_all_pairs", False)
+        self._last_match_computed = len(pairs)
+        buckets = self._match_dispatch(pairs, feats)
+
+        conc_idx = jnp.concatenate([b[1].indices for b in buckets])
+        conc_raw = jnp.concatenate([b[1].mask for b in buckets])
+        conc_p1 = jnp.concatenate([b[3] for b in buckets])
+        conc_p2 = jnp.concatenate([b[4] for b in buckets])
+        conc_filt = (
+            jnp.concatenate([b[2] for b in buckets]) if filter_on else None
+        )
+
+        F = self.max_img - 2
+        Fp = ((F + 7) // 8) * 8
+        # Bucket-global row of pair (i, i+1) is i-1 (chunks are full except
+        # the last, whose padding rows sit past all valid ones); the scan
+        # consumes rows 1..F padded by repeating the last valid row
+        # (frame_valid gates padding off).
+        rows = np.minimum(1 + np.arange(Fp), len(pairs) - 1)
+        sel = jnp.asarray(np.concatenate([[0], rows]), jnp.int32)
+        p1_all = jnp.take(conc_p1, sel, axis=0)
+        p2_all = jnp.take(conc_p2, sel, axis=0)
+        idx_all = jnp.take(conc_idx, sel, axis=0)
+        mask12 = (
+            conc_filt[0] if (filter_on and filter_all) else conc_raw[0]
+        )
+        chain_src = conc_filt if filter_on else conc_raw
+        mask_chain = jnp.take(chain_src, sel[1:], axis=0)
+        frame_valid = jnp.arange(Fp) < F
+
+        K_host = [self._intrinsics(i) for i in range(1, self.max_img + 1)]
+        K2_chain = np.stack(
+            [K_host[min(2 + f, self.max_img - 1)] for f in range(Fp)]
+        ).astype(np.float32)
+
+        boot_key = self._next_key()
+        keys = jax.random.split(self._next_key(), Fp)
+        kp_capacity = int(feats.keypoints.capacity)
+        max_points = self.config.max_points
+
+        out = _front_half_device(
+            boot_key, keys,
+            p1_all, p2_all, idx_all[:, :, 0], idx_all[:, :, 1],
+            mask12, mask_chain,
+            jnp.asarray(K_host[0], jnp.float32),
+            jnp.asarray(K_host[1], jnp.float32),
+            jnp.asarray(K2_chain), frame_valid,
+            rcfg.epipolar_threshold, rcfg.pnp_reproj_threshold,
+            boot_hyp=rcfg.max_hypotheses() if rcfg.adaptive else self._num_hyp,
+            stage_size=rcfg.stage_size, adaptive=rcfg.adaptive,
+            pnp_hyp=self._pnp_hyp, max_points=max_points,
+            kp_capacity=kp_capacity,
+        )
+        self.stage_times["front.dispatch"] = time.time() - t0
+
+        # ONE fetch for matching + bootstrap + chain.
+        t1 = time.time()
+        filt_or_raw = conc_filt if filter_on else conc_raw
+        (idx_np, raw_np, p1_np, p2_np, filt_np,
+         inl_np, X_np, rvec0, tvec0,
+         rvecs, ts, oks, ninl, obs_track, obs_xy, points, n_points
+         ) = jax.device_get((conc_idx, conc_raw, conc_p1, conc_p2,
+                             filt_or_raw) + out)
+        self.stage_times["front.fetch"] = time.time() - t1
+
+        # --- STAGE A host bookkeeping (mirrors _match_pairs' tail).
+        for e, key in enumerate(pairs):
+            i1, i2 = key
+            mask = raw_np[e]
+            if filter_on and (key != (1, 2) or filter_all):
+                mask = filt_np[e]
+            p1 = np.asarray(p1_np[e], np.float32)
+            p2 = np.asarray(p2_np[e], np.float32)
+            idx1 = np.asarray(idx_np[e, :, 0], np.int32)
+            idx2 = np.asarray(idx_np[e, :, 1], np.int32)
+            mask = np.asarray(mask, bool)
+            K1 = np.asarray(K_host[i1 - 1], np.float32)
+            K2 = np.asarray(K_host[i2 - 1], np.float32)
+            self.pair_geometry[(i1, i2)] = PairGeometry(
+                p1=p1, p2=p2, idx1=idx1, idx2=idx2, mask=mask, K1=K1, K2=K2
+            )
+            self.pair_geometry[(i2, i1)] = PairGeometry(
+                p1=p2, p2=p1, idx1=idx2, idx2=idx1, mask=mask, K1=K2, K2=K1
+            )
+
+        # --- STAGE B host bookkeeping (mirrors _bootstrap's tail).
+        inl_np = np.asarray(inl_np, bool)
+        p2_0 = np.asarray(p2_np[0], np.float64)
+        idx2_0 = np.asarray(idx_np[0, :, 1])
+        track_ids = self.map.add_tracks(
+            np.asarray(X_np, np.float64), p2_0, frame_idx=0, mask=inl_np
+        )
+        self._kp_tracks[2][idx2_0[inl_np]] = track_ids[inl_np]
+        self.global_poses.append((
+            np.asarray(rvec0, np.float64), np.asarray(tvec0, np.float64)
+        ))
+        self.global_K.append(np.asarray(K_host[1], np.float64))
+        n0 = self.map.num_tracks
+
+        # --- STAGE C host bookkeeping (mirrors _chain_scan's tail).
+        bad = np.nonzero(~np.asarray(oks))[0]
+        if len(bad):
+            raise RuntimeError(
+                f"Cannot determine pose for pair ({int(bad[0]) + 2}, {int(bad[0]) + 3})"
+            )
+        n_points = int(n_points)
+        self.map.append_points_raw(points[n0:n_points])
+        for f in range(F):
+            current_frame = len(self.global_poses)
+            tr = obs_track[f]
+            valid = tr >= 0
+            self.map.add_observations(
+                np.where(valid, tr, -1), obs_xy[f], current_frame
+            )
+            self.global_poses.append((
+                np.asarray(rvecs[f], np.float64), np.asarray(ts[f], np.float64)
+            ))
+            self.global_K.append(np.asarray(K_host[min(f + 2, self.max_img - 1)], np.float64))
+        self.stage_times["front(fused A+B+C)"] = time.time() - t0
+        return True
 
     def _bootstrap(self):
         """Initial pair (1,2): pose + triangulation (STAGE B)."""
@@ -899,28 +1099,40 @@ class SfmEngine:
 
         problem = pad_problem(problem)
         ba_cfg = self.config.ba
-        if self.refine_focal and stage == "ba" and not (
-            self.mesh is not None and "data" in self.mesh.shape
-        ):
-            # Full global BA only: scaling K mid-chain (windowed/local BA)
-            # would leave _intrinsics() registering later frames with the
-            # UNSCALED EXIF K against structure optimized at the scaled one.
-            # Self-calibrating BA: shared focal scale optimized JOINTLY via
-            # the bordered Schur system (ba/selfcal.py) — alternating a 1-D
-            # refit with fixed-K BA cannot work (the converged poses absorb
-            # the focal error and its gradient vanishes).
+        kw = dict(
+            max_iters=ba_cfg.max_lm_iters,
+            cg_iters=60,
+            init_damping=ba_cfg.init_damping,
+            damping_up=ba_cfg.damping_up,
+            damping_down=ba_cfg.damping_down,
+            ftol=ba_cfg.ftol,
+            huber_delta=ba_cfg.huber_delta,
+        )
+        on_mesh = self.mesh is not None and "data" in self.mesh.shape
+        # Full global BA only: scaling K mid-chain (windowed/local BA)
+        # would leave _intrinsics() registering later frames with the
+        # UNSCALED EXIF K against structure optimized at the scaled one.
+        # Self-calibrating BA: shared focal scale optimized JOINTLY via
+        # the bordered Schur system (ba/selfcal.py) — alternating a 1-D
+        # refit with fixed-K BA cannot work (the converged poses absorb
+        # the focal error and its gradient vanishes). On a mesh the same
+        # border rides the psum-reduced sharded solver.
+        do_selfcal = self.refine_focal and stage == "ba"
+        if on_mesh:
+            from sfmfromscratch_tpu.parallel.sharded_ba import bundle_adjust_sharded
+
+            out = bundle_adjust_sharded(
+                problem, self.mesh, selfcal=do_selfcal, **kw
+            )
+            res, s_jax = out if do_selfcal else (out, None)
+        elif do_selfcal:
             from sfmfromscratch_tpu.ba.selfcal import bundle_adjust_selfcal
 
-            res, s_jax = bundle_adjust_selfcal(
-                problem,
-                max_iters=ba_cfg.max_lm_iters,
-                cg_iters=60,
-                init_damping=ba_cfg.init_damping,
-                damping_up=ba_cfg.damping_up,
-                damping_down=ba_cfg.damping_down,
-                ftol=ba_cfg.ftol,
-                huber_delta=ba_cfg.huber_delta,
-            )
+            res, s_jax = bundle_adjust_selfcal(problem, **kw)
+        else:
+            res = bundle_adjust(problem, **kw)
+            s_jax = None
+        if do_selfcal and s_jax is not None:
             s = float(jax.device_get(s_jax))
             self.focal_scale *= s
             for i in range(len(self.global_K)):
@@ -930,34 +1142,6 @@ class SfmEngine:
                 self.global_K[i] = Kn
             self.warnings.append(
                 f"focal self-calibration: cumulative scale {self.focal_scale:.4f}"
-            )
-        elif self.mesh is not None and "data" in self.mesh.shape:
-            from sfmfromscratch_tpu.parallel.sharded_ba import bundle_adjust_sharded
-
-            if self.refine_focal and stage == "ba":
-                self.warnings.append(
-                    "refine_focal is single-device only; ignored on the mesh"
-                )
-            res = bundle_adjust_sharded(
-                problem, self.mesh,
-                max_iters=ba_cfg.max_lm_iters,
-                cg_iters=60,
-                init_damping=ba_cfg.init_damping,
-                damping_up=ba_cfg.damping_up,
-                damping_down=ba_cfg.damping_down,
-                ftol=ba_cfg.ftol,
-                huber_delta=ba_cfg.huber_delta,
-            )
-        else:
-            res = bundle_adjust(
-                problem,
-                max_iters=ba_cfg.max_lm_iters,
-                cg_iters=60,
-                init_damping=ba_cfg.init_damping,
-                damping_up=ba_cfg.damping_up,
-                damping_down=ba_cfg.damping_down,
-                ftol=ba_cfg.ftol,
-                huber_delta=ba_cfg.huber_delta,
             )
         self.errors_before_after_ba = (
             float(res.initial_mean_error), float(res.final_mean_error)
@@ -1054,12 +1238,13 @@ class SfmEngine:
 
     def run(self) -> "SfmEngine":
         feats = self._extract_all_features()
-        self._match_pairs(feats)
-        p3d, p2_obs, track_ids, P2 = self._bootstrap()
-        if self._use_scan_chain():
-            self._chain_scan(P2)
-        else:
-            self._chain(p3d, p2_obs, track_ids, P2)
+        if not self._try_run_front_fused(feats):
+            self._match_pairs(feats)
+            p3d, p2_obs, track_ids, P2 = self._bootstrap()
+            if self._use_scan_chain():
+                self._chain_scan(P2)
+            else:
+                self._chain(p3d, p2_obs, track_ids, P2)
         self._global_ba()
         if self.model_name is not None:
             self.save_data()

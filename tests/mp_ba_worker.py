@@ -17,9 +17,12 @@ pid = int(sys.argv[1])
 nproc = int(sys.argv[2])
 port = sys.argv[3]
 outfile = sys.argv[4]
+devs_per_proc = int(sys.argv[5]) if len(sys.argv) > 5 else 4
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["XLA_FLAGS"] = (
+    f"--xla_force_host_platform_device_count={devs_per_proc}"
+)
 
 import jax
 
@@ -37,7 +40,7 @@ from sfmfromscratch_tpu.parallel.sharded_ba import bundle_adjust_sharded
 from tests.test_ba import _multi_view_problem
 
 assert jax.process_count() == nproc
-assert len(jax.devices()) == 4 * nproc, jax.devices()
+assert len(jax.devices()) == devs_per_proc * nproc, jax.devices()
 
 rng = np.random.default_rng(0)
 problem, _, _ = _multi_view_problem(

@@ -152,15 +152,11 @@ def test_ba_handles_padded_observations(rng):
     assert abs(float(full_a.final_mean_error) - float(full_b.final_mean_error)) < 0.05
 
 
-def test_selfcal_recovers_focal_scale(rng):
-    """Joint focal-scale BA (bordered Schur, ba/selfcal.py) recovers a 6%
-    focal error to within ~1% on a focal-observable scene — where fixed-K BA
-    plateaus above the noise floor. (Alternating a 1-D refit with fixed-K BA
-    provably cannot: the converged poses absorb the focal error and the
-    focal gradient vanishes.)"""
+def _focal_observable_problem(rng, focal_error=1.06):
+    """A scene where a shared focal-scale error is observable: 8 cameras with
+    rotation + forward/lateral motion, 300 points, 0.3 px noise, K wrong by
+    ``focal_error``. Shared by the single-device and sharded selfcal tests."""
     from scipy.spatial.transform import Rotation
-
-    from sfmfromscratch_tpu.ba.selfcal import bundle_adjust_selfcal
 
     C, Pn = 8, 300
     K_true = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
@@ -185,11 +181,22 @@ def test_selfcal_recovers_focal_scale(rng):
     cam_fixed = np.zeros(C, bool)
     cam_fixed[0] = True
     K_wrong = K_true.copy()
-    K_wrong[0, 0] *= 1.06
-    K_wrong[1, 1] *= 1.06
-    problem = make_problem(cam_params, X, np.array(obs_cam),
-                           np.array(obs_pt), np.array(obs_xy),
-                           np.stack([K_wrong] * C), cam_fixed=cam_fixed)
+    K_wrong[0, 0] *= focal_error
+    K_wrong[1, 1] *= focal_error
+    return make_problem(cam_params, X, np.array(obs_cam),
+                        np.array(obs_pt), np.array(obs_xy),
+                        np.stack([K_wrong] * C), cam_fixed=cam_fixed)
+
+
+def test_selfcal_recovers_focal_scale(rng):
+    """Joint focal-scale BA (bordered Schur, ba/selfcal.py) recovers a 6%
+    focal error to within ~1% on a focal-observable scene — where fixed-K BA
+    plateaus above the noise floor. (Alternating a 1-D refit with fixed-K BA
+    provably cannot: the converged poses absorb the focal error and the
+    focal gradient vanishes.)"""
+    from sfmfromscratch_tpu.ba.selfcal import bundle_adjust_selfcal
+
+    problem = _focal_observable_problem(rng)
 
     res_fixed = bundle_adjust(problem, max_iters=30, cg_iters=60, ftol=1e-12)
     res_cal, s = bundle_adjust_selfcal(problem, max_iters=30, cg_iters=60,

@@ -101,6 +101,8 @@ def test_full_pipeline_matches_reference_quality(scene, tmp_path):
     # 0.07 px — better on either comparison.
     print(f"reference mean reproj error: {ref_err:.3f} px; ours: {ours_err:.3f} px")
     # Acceptance: within the reference's bound (BASELINE.json) — we demand
-    # at least parity, with slack for the different RANSAC draws.
-    assert ours_err <= max(1.5 * ref_err, 1.0)
+    # at least parity (1.1x, VERDICT round-1 item 3), with a sub-pixel
+    # absolute floor for different RANSAC draws. Observed: ref retains
+    # 7.0 px (it discards optimized poses), ours 0.07 px.
+    assert ours_err <= max(1.1 * ref_err, 0.5)
     assert eng.map.num_tracks > 20

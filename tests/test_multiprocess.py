@@ -26,29 +26,37 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_distributed_ba(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("nproc,devs_per_proc", [(2, 4), (4, 2)])
+def test_multi_process_distributed_ba(tmp_path, nproc, devs_per_proc):
+    """2 processes x 4 devices and 4 processes x 2 devices (VERDICT round-1
+    item 8: widen beyond N=2) — 8 global devices either way, so the same
+    sharded programs run with collectives crossing 1 or 3 process
+    boundaries."""
     out = tmp_path / "verdict.json"
     port = _free_port()
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the TPU tunnel out of workers
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
 
     worker = os.path.join(REPO, "tests", "mp_ba_worker.py")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), "2", str(port), str(out)],
+            [sys.executable, worker, str(i), str(nproc), str(port), str(out),
+             str(devs_per_proc)],
             env=env, cwd=REPO,
         )
-        for i in range(2)
+        for i in range(nproc)
     ]
     codes = [p.wait(timeout=600) for p in procs]
-    assert codes == [0, 0]
+    assert codes == [0] * nproc
 
     v = json.loads(out.read_text())
-    assert v["processes"] == 2
-    assert v["global_devices"] == 8
+    assert v["processes"] == nproc
+    assert v["global_devices"] == nproc * devs_per_proc
     # TP matching across the process boundary equals the single-device matcher.
     assert v["tp_match_equal"]
     # Sharded solve converges and agrees with the single-device LM.

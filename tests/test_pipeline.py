@@ -179,6 +179,31 @@ def test_scan_chain_matches_host_chain(rendered):
     assert rms < 0.1 * extent
 
 
+def test_fused_front_matches_staged(rendered, tmp_path):
+    """The fused A+B+C device pipeline (one fetch; _try_run_front_fused) and
+    the staged path (match fetch -> bootstrap fetch -> chain upload+fetch)
+    produce the same reconstruction: both consume the same RNG stream in the
+    same order, differing only in jit fusion boundaries."""
+    from sfmfromscratch_tpu.pipeline.incremental import SfmEngine
+
+    fused = SfmEngine(rendered["dir"], rendered["n"], config=_small_config(),
+                      single_K=rendered["K"], chain_mode="scan")
+    assert "front(fused A+B+C)" in fused.stage_times
+    # pair_cache_dir disables the fused path but consumes keys identically.
+    staged = SfmEngine(rendered["dir"], rendered["n"], config=_small_config(),
+                       single_K=rendered["K"], chain_mode="scan",
+                       pair_cache_dir=str(tmp_path / "cache"))
+    assert "front(fused A+B+C)" not in staged.stage_times
+    assert fused.map.num_tracks == staged.map.num_tracks
+    assert fused.map.num_observations == staged.map.num_observations
+    assert len(fused.global_poses) == len(staged.global_poses)
+    for (rv_a, t_a), (rv_b, t_b) in zip(fused.global_poses, staged.global_poses):
+        np.testing.assert_allclose(rv_a, rv_b, atol=1e-3)
+        np.testing.assert_allclose(t_a, t_b, atol=1e-3)
+    assert abs(fused.errors_before_after_ba[1]
+               - staged.errors_before_after_ba[1]) < 0.05
+
+
 def test_pair_cache_restartable_matching(rendered, tmp_path):
     """STAGE A is restartable per pair (SURVEY.md §5.3): a second engine over
     the same cache resumes every pair, a partially-deleted cache recomputes
