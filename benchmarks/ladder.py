@@ -1,0 +1,115 @@
+"""BASELINE.json workload ladder on the current backend (one chip).
+
+Round 1 measured configs 3-5 on CPU devices with a "~30x on v5e"
+extrapolation; this script measures them on whatever backend jax picks so
+docs/PERFORMANCE.md carries chip numbers (VERDICT round-1 weak item 6).
+
+Usage:
+    python benchmarks/ladder.py            # configs 2-4 (a few minutes warm)
+    python benchmarks/ladder.py --config5  # + the 1000-view keyframed run
+"""
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _scene(num_views, num_points, orbit_step_deg, hw=(360, 480)):
+    from tests.render import render_sequence, write_sequence
+
+    rng = np.random.default_rng(7)
+    images, K, poses, X = render_sequence(
+        rng, num_views=num_views, num_points=num_points, img_hw=hw, f=520.0,
+        orbit_step_deg=orbit_step_deg,
+    )
+    d = tempfile.mkdtemp(prefix=f"ladder_{num_views}_")
+    write_sequence(d, images)
+    return d, K, poses
+
+
+def _cfg(kp):
+    from sfmfromscratch_tpu.config import (
+        BundleAdjustConfig, ExtractorConfig, MatcherConfig, PipelineConfig,
+        RansacConfig,
+    )
+
+    return PipelineConfig(
+        extractor=ExtractorConfig(
+            num_interest_points=kp, ksize=3, gaussian_size=7, sigma=3.0,
+            alpha=0.05, feature_width=16, pyramid_level=2,
+            pyramid_scale_factor=1.2,
+        ),
+        matcher=MatcherConfig(ratio_threshold=0.85, max_matches=kp),
+        ransac=RansacConfig(),
+        ba=BundleAdjustConfig(),
+        scale_factor=1.0,
+    )
+
+
+def _ate(poses_est, poses_gt):
+    from sfmfromscratch_tpu.utils.metrics import (
+        absolute_trajectory_error, camera_centers,
+    )
+
+    rvecs = np.stack([rv for rv, _ in poses_est])
+    ts = np.stack([t for _, t in poses_est])
+    est = camera_centers(rvecs, ts)
+    gt = np.stack([-(R.T @ t) for R, t in poses_gt[1: len(est) + 1]])
+    extent = float(np.linalg.norm(gt.max(0) - gt.min(0)))
+    return absolute_trajectory_error(est, gt), extent
+
+
+def run_incremental(num_views, kp, step_deg, label):
+    from sfmfromscratch_tpu.pipeline.incremental import SfmEngine
+
+    d, K, poses = _scene(num_views, 300, step_deg)
+    cfg = _cfg(kp)
+    SfmEngine(d, num_views, config=cfg, single_K=K)  # warm/compile
+    t0 = time.time()
+    eng = SfmEngine(d, num_views, config=cfg, single_K=K)
+    wall = time.time() - t0
+    ate, extent = _ate(eng.global_poses, poses)
+    print(f"{label}: {wall:.1f} s warm = {num_views / wall:.2f} frames/s; "
+          f"reproj {eng.errors_before_after_ba[1]:.2f} px, "
+          f"ATE {100 * ate / extent:.2f}% of extent, "
+          f"{eng.map.num_tracks} tracks / {eng.map.num_observations} obs",
+          flush=True)
+
+
+def run_global(num_views, kp, step_deg, label, **kw):
+    from sfmfromscratch_tpu.pipeline.global_sfm import GlobalSfmEngine
+
+    d, K, poses = _scene(num_views, 300, step_deg)
+    cfg = _cfg(kp)
+    t0 = time.time()
+    eng = GlobalSfmEngine(d, num_views, config=cfg, single_K=K,
+                          pair_window=3, **kw)
+    wall = time.time() - t0
+    ate, extent = _ate(eng.global_poses, poses)
+    print(f"{label}: {wall:.1f} s COLD = {num_views / wall:.2f} frames/s; "
+          f"reproj {eng.errors_before_after_ba[1]:.2f} px, "
+          f"ATE {100 * ate / extent:.2f}% of extent, "
+          f"{eng.map.num_tracks} tracks", flush=True)
+
+
+def main():
+    import jax
+
+    print(f"backend={jax.default_backend()} "
+          f"{getattr(jax.devices()[0], 'device_kind', '')}", flush=True)
+    run_incremental(10, 2500, 0.8, "config 2 (10 views, 2500 kp)")
+    run_incremental(47, 600, 0.8, "config 3 (47 views, 600 kp, chain)")
+    run_global(47, 600, 4.0, "config 3g (47-view 4deg orbit, global)")
+    run_incremental(100, 600, 0.5, "config 4 (100 views, 600 kp, chain)")
+    if "--config5" in sys.argv:
+        run_global(1000, 400, 0.36, "config 5 (1000-view dense orbit, keyframed)",
+                   keyframe_step="auto")
+
+
+if __name__ == "__main__":
+    main()

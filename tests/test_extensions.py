@@ -9,7 +9,7 @@ import pytest
 def test_superpoint_random_init_contract(rng):
     from sfmfromscratch_tpu.ops.superpoint import SuperPointExtractor
 
-    ext = SuperPointExtractor()
+    ext = SuperPointExtractor(weights_path=None)  # force random init
     img = jnp.asarray(rng.uniform(0, 1, (120, 160)), jnp.float32)
     f = ext(img, k=128)
     assert f.descriptors.shape == (128, 256)
@@ -21,6 +21,53 @@ def test_superpoint_random_init_contract(rng):
     # Keypoints within image bounds
     assert (np.asarray(f.keypoints.x)[valid] < 160).all()
     assert (np.asarray(f.keypoints.y)[valid] < 120).all()
+
+
+def _tinypoint_available():
+    from sfmfromscratch_tpu.ops.superpoint import default_weights_path
+
+    return default_weights_path() is not None
+
+
+@pytest.mark.skipif(not _tinypoint_available(),
+                    reason="no in-repo TinyPoint checkpoint")
+def test_tinypoint_checkpoint_contract(rng):
+    """The committed synthetic-trained checkpoint loads via auto-discovery
+    and emits SIFT-dimensional (128-D) unit descriptors."""
+    from sfmfromscratch_tpu.ops.superpoint import SuperPointExtractor
+
+    ext = SuperPointExtractor()  # auto
+    img = jnp.asarray(rng.uniform(0, 1, (120, 160)), jnp.float32)
+    f = ext(img, k=128)
+    assert f.descriptors.shape == (128, 128)
+    valid = np.asarray(f.keypoints.mask)
+    assert valid.sum() > 0
+    norms = np.linalg.norm(np.asarray(f.descriptors), axis=1)
+    np.testing.assert_allclose(norms[valid], 1.0, atol=1e-3)
+
+
+@pytest.mark.skipif(not _tinypoint_available(),
+                    reason="no in-repo TinyPoint checkpoint")
+def test_tinypoint_detects_synthetic_corners(rng):
+    """The trained detector fires on exact synthetic corners: most ground-
+    truth corners have a detection within 4 px (random init does not)."""
+    from sfmfromscratch_tpu.ops.sp_train import _draw_shapes
+    from sfmfromscratch_tpu.ops.superpoint import SuperPointExtractor
+
+    ext = SuperPointExtractor()
+    hits, total = 0, 0
+    for seed in range(3):
+        img, corners = _draw_shapes(np.random.default_rng(seed), 120, 160)
+        if len(corners) == 0:
+            continue
+        f = ext(jnp.asarray(img), k=128)
+        valid = np.asarray(f.keypoints.mask)
+        kp = np.stack([np.asarray(f.keypoints.xf)[valid],
+                       np.asarray(f.keypoints.yf)[valid]], 1)
+        d = np.linalg.norm(corners[:, None, :] - kp[None, :, :], axis=-1)
+        hits += int((d.min(axis=1) <= 4.0).sum())
+        total += len(corners)
+    assert total > 0 and hits / total > 0.6, (hits, total)
 
 
 def test_superpoint_weight_roundtrip(tmp_path):
