@@ -59,7 +59,10 @@ def _ate(poses_est, poses_gt):
     rvecs = np.stack([rv for rv, _ in poses_est])
     ts = np.stack([t for _, t in poses_est])
     est = camera_centers(rvecs, ts)
-    gt = np.stack([-(R.T @ t) for R, t in poses_gt[1: len(est) + 1]])
+    # Incremental stores N-1 poses (identity base camera implicit); the
+    # global engine stores all N.
+    start = 0 if len(est) == len(poses_gt) else 1
+    gt = np.stack([-(R.T @ t) for R, t in poses_gt[start: start + len(est)]])
     extent = float(np.linalg.norm(gt.max(0) - gt.min(0)))
     return absolute_trajectory_error(est, gt), extent
 

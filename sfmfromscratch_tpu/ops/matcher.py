@@ -90,7 +90,7 @@ def match_ratio_test(
     return MatchResult(indices=indices, confidence=confidence, mask=out_mask)
 
 
-@functools.partial(jax.jit, static_argnames=("max_matches",))
+@functools.partial(jax.jit, static_argnames=("max_matches", "use_pallas"))
 def match_pairs_batch(
     descriptors: jax.Array,   # (C, K, D) per-image descriptor stacks
     kp_mask: jax.Array,       # (C, K) bool valid-keypoint masks
@@ -100,6 +100,7 @@ def match_pairs_batch(
     pair_j: jax.Array,        # (B,) int32 second image index per pair
     ratio_threshold: jax.Array | float = 0.8,
     max_matches: Optional[int] = None,
+    use_pallas: bool = False,
 ):
     """Ratio-test matching of MANY image pairs as ONE device program.
 
@@ -114,6 +115,11 @@ def match_pairs_batch(
     ``p1[b], p2[b]`` are the (M, 2) subpixel coordinates of pair ``b``'s
     matches (already gathered through the match indices, so downstream
     geometry never re-gathers on host).
+
+    ``use_pallas=True`` routes the top-2 core through the natively-batched
+    fused kernel (custom_vmap rule in ops/pallas/match_kernel.py) — no
+    (B, K, K) HBM distance tensor: at 9 pairs x 2500^2 that tensor alone is
+    225 MB of write+read traffic (~0.5 s of the round-2 headline wall).
     """
     d1, d2 = descriptors[pair_i], descriptors[pair_j]
     m1, m2 = kp_mask[pair_i], kp_mask[pair_j]
@@ -121,7 +127,7 @@ def match_pairs_batch(
     res = jax.vmap(
         lambda a, b, ma, mb: match_ratio_test(
             a, b, ma, mb, ratio_threshold=ratio_threshold,
-            max_matches=max_matches, use_pallas=False,
+            max_matches=max_matches, use_pallas=use_pallas,
         )
     )(d1, d2, m1, m2)
 

@@ -25,19 +25,21 @@ _TN = 512   # database tile columns
 
 
 def _match_kernel(d1_ref, d2_ref, n2sq_ref, dist1_ref, dist2_ref, idx_ref):
-    TM = d1_ref.shape[0]
-    n2 = d2_ref.shape[0]
+    # Refs carry a leading batch dim of 1 (the grid's batch axis selects the
+    # pair; the same kernel serves the single-pair and batched entry points).
+    TM = d1_ref.shape[1]
+    n2 = d2_ref.shape[1]
     TN = min(_TN, n2)
     num_tiles = pl.cdiv(n2, TN)
 
-    d1 = d1_ref[:]                     # (TM, D)
+    d1 = d1_ref[0]                     # (TM, D)
     big = jnp.float32(1e30)
 
     def body(t, carry):
         b1, i1, b2 = carry
         start = t * TN
-        d2_tile = d2_ref[pl.ds(start, TN), :]          # (TN, D)
-        n2sq = n2sq_ref[0, pl.ds(start, TN)]           # (TN,)
+        d2_tile = d2_ref[0, pl.ds(start, TN), :]       # (TN, D)
+        n2sq = n2sq_ref[0, 0, pl.ds(start, TN)]        # (TN,)
         cross = jax.lax.dot_general(
             d1, d2_tile,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -66,9 +68,40 @@ def _match_kernel(d1_ref, d2_ref, n2sq_ref, dist1_ref, dist2_ref, idx_ref):
         jnp.full((TM,), big, jnp.float32),
     )
     b1, i1, b2 = jax.lax.fori_loop(0, num_tiles, body, init)
-    dist1_ref[:, 0] = b1
-    dist2_ref[:, 0] = b2
-    idx_ref[:, 0] = i1
+    dist1_ref[0, :, 0] = b1
+    dist2_ref[0, :, 0] = b2
+    idx_ref[0, :, 0] = i1
+
+
+def _match_top2_batched(d1, d2, n2sq, interpret: bool):
+    """Natively batched grid: d1 (B, n1, D), d2 (B, n2, D), n2sq (B, 1, n2)
+    -> (B, n1) dist1/dist2 (relative, ||a||^2 not yet added) + idx."""
+    B, n1, D = d1.shape
+    n2 = d2.shape[1]
+    TM = min(_TM, n1)
+    grid = (B, pl.cdiv(n1, TM))
+
+    dist1, dist2, idx = pl.pallas_call(
+        _match_kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, n1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, n1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, n1, 1), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, TM, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n2, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n2), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, TM, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(d1, d2, n2sq)
+    return dist1[..., 0], dist2[..., 0], idx[..., 0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -78,40 +111,36 @@ def match_top2_fused(d1: jax.Array, d2: jax.Array, mask2=None, interpret: bool =
 
     d1: (n1, D) queries; d2: (n2, D) database; both float32. Masked database
     rows are excluded by inflating their ||b||^2 term past the tile sentinel.
+    ``jax.vmap`` over this function dispatches to the natively-batched grid
+    (custom_vmap rule) — the batched matcher (ops/matcher.match_pairs_batch)
+    rides it with no (B, n1, n2) HBM distance tensor.
     """
-    n1, D = d1.shape
-    n2 = d2.shape[0]
-    TM = min(_TM, n1)
-    grid = (pl.cdiv(n1, TM),)
-
-    n1sq = jnp.sum(d1 * d1, axis=1)
-    n2sq = jnp.sum(d2 * d2, axis=1)
+    n1sq = jnp.sum(d1 * d1, axis=-1)
+    n2sq = jnp.sum(d2 * d2, axis=-1)
     if mask2 is not None:
         n2sq = jnp.where(mask2, n2sq, 1e12)
-    n2sq = n2sq[None, :]
 
-    dist1, dist2, idx = pl.pallas_call(
-        _match_kernel,
-        grid=grid,
-        out_shape=(
-            jax.ShapeDtypeStruct((n1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n1, 1), jnp.int32),
-        ),
-        in_specs=[
-            pl.BlockSpec((TM, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n2, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((TM, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TM, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TM, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ),
-        interpret=interpret,
-    )(d1, d2, n2sq)
+    @jax.custom_batching.custom_vmap
+    def core(d1, d2, n2sq):
+        r1, r2, idx = _match_top2_batched(
+            d1[None], d2[None], n2sq[None, None, :], interpret
+        )
+        return r1[0], r2[0], idx[0]
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, d1b, d2b, n2sqb):
+        bcast = lambda x, b: (
+            x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+        )
+        d1b = bcast(d1b, in_batched[0])
+        d2b = bcast(d2b, in_batched[1])
+        n2sqb = bcast(n2sqb, in_batched[2])
+        out = _match_top2_batched(d1b, d2b, n2sqb[:, None, :], interpret)
+        return out, (True, True, True)
+
+    dist1, dist2, idx = core(d1, d2, n2sq)
 
     # Add the per-row ||a||^2 term to recover true squared distances.
-    sq1 = jnp.maximum(dist1[:, 0] + n1sq, 0.0)
-    sq2 = jnp.maximum(dist2[:, 0] + n1sq, 0.0)
-    return sq1, sq2, idx[:, 0]
+    sq1 = jnp.maximum(dist1 + n1sq, 0.0)
+    sq2 = jnp.maximum(dist2 + n1sq, 0.0)
+    return sq1, sq2, idx.astype(jnp.int32)

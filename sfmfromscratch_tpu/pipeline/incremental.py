@@ -508,9 +508,12 @@ class SfmEngine:
         """Dispatch the bucketed match+filter device programs for ``todo``
         pairs WITHOUT fetching; returns the bucket list
         [(chunk_keys, MatchResult, mask_filt_or_None, p1, p2), ...]."""
+        from sfmfromscratch_tpu.ops.pallas.support import pallas_tpu_available
+
         mcfg = self.config.matcher
         rcfg = self.config.ransac
         filter_on = getattr(self, "_filter_pairs", True)
+        use_pallas = pallas_tpu_available()
 
         buckets = []
         if todo:
@@ -519,8 +522,13 @@ class SfmEngine:
             XF = feats.keypoints.xf
             YF = feats.keypoints.yf
             Kcap = int(D_all.shape[1])
-            # HBM guard: the batched matcher materializes (B, K, K) distances.
-            maxb = int(max(8, min(128, (384 << 20) // max(Kcap * Kcap * 4, 1))))
+            if use_pallas:
+                # Fused kernel: no (B, K, K) HBM tensor; VMEM holds one
+                # database (K, D) per grid step, so the batch can be large.
+                maxb = 128
+            else:
+                # HBM guard: the XLA path materializes (B, K, K) distances.
+                maxb = int(max(8, min(128, (384 << 20) // max(Kcap * Kcap * 4, 1))))
             for c0 in range(0, len(todo), maxb):
                 chunk = todo[c0 : c0 + maxb]
                 B = _pow2_bucket(len(chunk), maxb)
@@ -531,6 +539,7 @@ class SfmEngine:
                     D_all, M_all, XF, YF, pi, pj,
                     ratio_threshold=mcfg.ratio_threshold,
                     max_matches=mcfg.max_matches,
+                    use_pallas=use_pallas,
                 )
                 mask_filt = None
                 if filter_on:
