@@ -54,6 +54,7 @@ from sfmfromscratch_tpu.pipeline.frontend import extract_features, preprocess_im
 from sfmfromscratch_tpu.pipeline.tracks import MapStore
 from sfmfromscratch_tpu.types import Features, PairGeometry
 from sfmfromscratch_tpu.ops.matcher import match_pairs_batch
+from sfmfromscratch_tpu.utils.fetch import device_get_packed
 from sfmfromscratch_tpu.utils.precision import mm_f32
 from sfmfromscratch_tpu.io.images import load_image
 
@@ -469,6 +470,11 @@ class SfmEngine:
         cap = feats.keypoints.capacity
         for idx in range(1, self.max_img + 1):
             self._kp_tracks[idx] = np.full(cap, -1, dtype=np.int64)
+        if os.environ.get("SFM_STAGE_SYNC"):
+            from sfmfromscratch_tpu.utils.fetch import sync_device
+
+            sync_device(feats.descriptors)
+            self.stage_times["features.compute"] = time.time() - t0
         self.stage_times["features"] = time.time() - t0
         return feats
 
@@ -619,19 +625,18 @@ class SfmEngine:
         # array costs a tunnel round trip).
         results: Dict[Tuple[int, int], tuple] = {}
         if buckets:
-            idx_np, conf_np, raw_np, p1_np, p2_np = jax.device_get((
+            fetch = [
                 jnp.concatenate([b[1].indices for b in buckets]),
-                jnp.concatenate([b[1].confidence for b in buckets]),
                 jnp.concatenate([b[1].mask for b in buckets]),
                 jnp.concatenate([b[3] for b in buckets]),
                 jnp.concatenate([b[4] for b in buckets]),
-            ))
-            if any(b[2] is not None for b in buckets):
-                filt_np = np.asarray(jax.device_get(
-                    jnp.concatenate([b[2] for b in buckets])
-                ))
-            else:
-                filt_np = None
+            ]
+            has_filt = any(b[2] is not None for b in buckets)
+            if has_filt:
+                fetch.append(jnp.concatenate([b[2] for b in buckets]))
+            got = device_get_packed(*fetch)
+            idx_np, raw_np, p1_np, p2_np = got[:4]
+            filt_np = got[4] if has_filt else None
             g = 0
             for chunk, res, _mf, _p1, _p2 in buckets:
                 B = res.mask.shape[0]
@@ -763,15 +768,45 @@ class SfmEngine:
             kp_capacity=kp_capacity,
         )
         self.stage_times["front.dispatch"] = time.time() - t0
+        if os.environ.get("SFM_STAGE_SYNC"):
+            # Diagnostics only: split device compute from transfer (the fetch
+            # below blocks on both; each sync costs one extra round trip).
+            from sfmfromscratch_tpu.utils.fetch import sync_device
 
-        # ONE fetch for matching + bootstrap + chain.
+            tm = time.time()
+            sync_device(conc_raw)
+            self.stage_times["front.match.compute"] = time.time() - tm
+            if conc_filt is not None:
+                sync_device(conc_filt)
+                self.stage_times["front.filter.compute"] = time.time() - tm
+            sync_device(out[1])   # bootstrap X
+            self.stage_times["front.boot.compute"] = time.time() - tm
+            sync_device(out[-1])
+            self.stage_times["front.chain.compute"] = time.time() - tm
+            self.stage_times["front.compute"] = time.time() - t0
+
+        # ONE packed fetch (two flat buffers, utils/fetch.py) for matching +
+        # bootstrap + chain: each fetched leaf costs a tunnel round trip, so
+        # round 2's 17-leaf tuple paid ~0.85 s in latency alone.  The global
+        # points buffer is sliced to the static maximum of live tracks
+        # (bootstrap adds <= M, each chain frame <= M) instead of shipping
+        # the full max_points capacity.
         t1 = time.time()
         filt_or_raw = conc_filt if filter_on else conc_raw
+        (inl_d, X_d, rvec0_d, tvec0_d,
+         rvecs_d, ts_d, oks_d, _ninl_d, obs_track_d, obs_xy_d,
+         points_d, n_points_d) = out
+        M = int(p1_all.shape[1])
+        P_fetch = min(max_points, (Fp + 1) * M)
         (idx_np, raw_np, p1_np, p2_np, filt_np,
          inl_np, X_np, rvec0, tvec0,
-         rvecs, ts, oks, ninl, obs_track, obs_xy, points, n_points
-         ) = jax.device_get((conc_idx, conc_raw, conc_p1, conc_p2,
-                             filt_or_raw) + out)
+         rvecs, ts, oks, obs_track, obs_xy, points, n_points
+         ) = device_get_packed(
+            conc_idx, conc_raw, conc_p1, conc_p2, filt_or_raw,
+            inl_d, X_d, rvec0_d, tvec0_d,
+            rvecs_d, ts_d, oks_d, obs_track_d, obs_xy_d,
+            points_d[:P_fetch], n_points_d,
+        )
         self.stage_times["front.fetch"] = time.time() - t1
 
         # --- STAGE A host bookkeeping (mirrors _match_pairs' tail).
@@ -841,11 +876,12 @@ class SfmEngine:
             rcfg.epipolar_threshold,
             stage_size=rcfg.stage_size, adaptive=rcfg.adaptive,
         )
-        # ONE host fetch for the whole stage (every device_get call costs a
-        # full tunnel round trip regardless of payload size).
-        inl_np, p3d_np, rvec, tvec, p2_np, idx2_np = jax.device_get(
-            (out[0], out[1], out[2], out[3], pg.p2, pg.idx2)
+        # ONE packed fetch for the whole stage (every fetched array costs a
+        # full tunnel round trip regardless of payload size; utils/fetch.py).
+        inl_np, p3d_np, rvec, tvec = device_get_packed(
+            out[0], out[1], out[2], out[3]
         )
+        p2_np, idx2_np = jax.device_get((pg.p2, pg.idx2))
         P2 = out[4]
         p3d_np = np.asarray(p3d_np, dtype=np.float64)
         p2_np = np.asarray(p2_np, dtype=np.float64)
@@ -933,8 +969,8 @@ class SfmEngine:
                 self.config.ransac.pnp_reproj_threshold,
                 jnp.asarray(new_sel),
             )
-            # ONE host fetch for the frame.
-            ok, inliers, rvec, tvec, P2_new, X_new_np, ok_new = jax.device_get(out)
+            # ONE packed fetch for the frame (utils/fetch.py).
+            ok, inliers, rvec, tvec, P2_new, X_new_np, ok_new = device_get_packed(*out)
 
             if not bool(ok) or sel.sum() < 6:
                 if self.on_pose_failure == "raise":
@@ -1152,13 +1188,17 @@ class SfmEngine:
             self.warnings.append(
                 f"focal self-calibration: cumulative scale {self.focal_scale:.4f}"
             )
-        self.errors_before_after_ba = (
-            float(res.initial_mean_error), float(res.final_mean_error)
+        # Packed result fetch: points + cameras + both error scalars in two
+        # transfers instead of four round trips (utils/fetch.py).
+        pts_np, cams_np, e0, e1 = device_get_packed(
+            res.points[:num_pts], res.cam_params[:num_cams],
+            res.initial_mean_error, res.final_mean_error,
         )
-        self.map.update_points(np.asarray(res.points[:num_pts], dtype=np.float64))
+        self.errors_before_after_ba = (float(e0), float(e1))
+        self.map.update_points(np.asarray(pts_np, dtype=np.float64))
         self.global_poses = [
             (np.asarray(c[:3], np.float64), np.asarray(c[3:], np.float64))
-            for c in np.asarray(res.cam_params[:num_cams])
+            for c in cams_np
         ]
         self.stage_times[stage] = self.stage_times.get(stage, 0.0) + time.time() - t0
 
@@ -1219,8 +1259,15 @@ class SfmEngine:
             self._pnp_hyp, self.config.ransac.pnp_reproj_threshold,
             max_points, kp_capacity,
         )
-        # ONE host fetch for the whole chain.
-        rvecs, ts, oks, ninl, obs_track, obs_xy, points, n_points = jax.device_get(out)
+        # ONE packed fetch for the whole chain (utils/fetch.py); the points
+        # buffer is sliced to its static live maximum before transfer.
+        M = int(p1_all.shape[1])
+        P_fetch = min(max_points, n0 + Fp * M)
+        (rvecs, ts, oks, _ninl, obs_track, obs_xy, points, n_points
+         ) = device_get_packed(
+            out[0], out[1], out[2], out[3], out[4], out[5],
+            out[6][:P_fetch], out[7],
+        )
 
         bad = np.nonzero(~np.asarray(oks))[0]
         if len(bad):
