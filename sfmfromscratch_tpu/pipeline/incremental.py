@@ -429,23 +429,47 @@ class SfmEngine:
             ]
             feats = jax.tree.map(stack_leaves, *per)
         elif len(sizes) == 1 and self.max_img > 1:
-            from sfmfromscratch_tpu.pipeline.frontend import extract_features_batch
+            from sfmfromscratch_tpu.pipeline.frontend import (
+                extract_features_batch,
+                preprocess_image_batch,
+            )
 
-            # Fixed chunk size => one compiled batched program regardless of
-            # sequence length (pad the last chunk by repeating its first image).
-            # NOTE: preprocessing stays a separate (eager) program rather than
-            # fusing into the extract jit: a different fusion boundary changes
-            # float reassociation enough to flip dominant-orientation ties in
-            # a few SIFT descriptors, which knife-edge scenes notice.
+            # Decode every image on the host, stack, and upload ONE array per
+            # chunk; gray+resize run as one batched device program per chunk
+            # (the per-image eager path paid an upload + 1-2 program launches
+            # per image — the features stage's real cost at round 3).  The
+            # last chunk is BUCKETED to the next power of two instead of
+            # padded to CHUNK (10 images cost 8+2 images of compute, not 8+8).
+            # NOTE: preprocessing stays a separate program rather than fusing
+            # into the extract jit: a different fusion boundary changes float
+            # reassociation enough to flip dominant-orientation ties in a few
+            # SIFT descriptors, which knife-edge scenes notice.
+            from sfmfromscratch_tpu.io.images import load_image_u8
+
             CHUNK = 8
+            raws = [load_image_u8(self._image_file(i)) for i in range(1, self.max_img + 1)]
+            same_shape = len({r.shape for r in raws}) == 1
             chunks = []
-            for start in range(0, self.max_img, CHUNK):
-                chunk = [
-                    _gray(i)
-                    for i in range(start + 1, min(start + CHUNK, self.max_img) + 1)
-                ]
-                pad = CHUNK - len(chunk)
-                stacked = jnp.stack(chunk + [chunk[0]] * pad)
+            start = 0
+            while start < self.max_img:
+                n = min(CHUNK, self.max_img - start)
+                B = _pow2_bucket(n, CHUNK)
+                idxs = list(range(start, start + n)) + [start] * (B - n)
+                if same_shape:
+                    # uint8 upload: 4x less tunnel traffic; /255 runs on device
+                    # (bit-identical to the host conversion, io/images.py).
+                    stacked_raw = jnp.asarray(np.stack([raws[i] for i in idxs]))
+                    stacked = preprocess_image_batch(
+                        stacked_raw, self.config.scale_factor
+                    )
+                else:
+                    stacked = jnp.stack([
+                        preprocess_image(
+                            raws[i].astype(np.float32) / 255.0,
+                            self.config.scale_factor,
+                        )
+                        for i in idxs
+                    ])
                 if self.mesh is not None and "data" in self.mesh.shape:
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -455,9 +479,21 @@ class SfmEngine:
                 chunks.append(
                     extract_features_batch(stacked, self.config.extractor)
                 )
+                start += n
             feats = jax.tree.map(stack_leaves, *chunks)
             if feats.descriptors.shape[0] != self.max_img:
-                feats = jax.tree.map(lambda a: a[: self.max_img], feats)
+                # Drop bucket-padding rows (keep the first n of each chunk).
+                keep = []
+                row = 0
+                start = 0
+                while start < self.max_img:
+                    n = min(CHUNK, self.max_img - start)
+                    B = _pow2_bucket(n, CHUNK)
+                    keep.extend(range(row, row + n))
+                    row += B
+                    start += n
+                sel = np.asarray(keep, np.int32)
+                feats = jax.tree.map(lambda a: a[sel], feats)
         else:
             per = [
                 jax.tree.map(
