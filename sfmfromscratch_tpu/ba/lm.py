@@ -88,7 +88,7 @@ def bundle_adjust(
         return total_cost(problem, cam, pts)
 
     def lm_step(state):
-        cam, pts, lam, cost, it, done = state
+        cam, pts, lam, cost, it, done, eta = state
         Jc, Jp, r = jacobian_blocks(problem, cam, pts)
         if huber_delta > 0:
             w = huber_weights(r, huber_delta)
@@ -98,7 +98,7 @@ def bundle_adjust(
         op = build_normal_blocks(
             Jc, Jp, r, problem.obs_cam, problem.obs_pt, C, P, lam
         )
-        dc, dp = solve_schur(op, cg_iters=cg_iters)
+        dc, dp = solve_schur(op, cg_iters=cg_iters, tol_rel=eta)
         dc = jnp.where(problem.cam_fixed[:, None], 0.0, dc)
         cam_new = cam - dc
         pts_new = pts - dp
@@ -112,10 +112,19 @@ def bundle_adjust(
         rel_decrease = (cost - new_cost) / jnp.maximum(cost, 1e-20)
         done = done | (improved & (rel_decrease < ftol))
         cost = jnp.where(improved, new_cost, cost)
-        return cam, pts, lam, cost, it + 1, done
+        # Eisenstat-Walker forcing: the next CG solve only needs accuracy
+        # proportional to how nonlinear the problem still is.  Fast progress
+        # (large relative decrease) => loose tolerance; near convergence (or
+        # a rejected step) => tight.  Bounded to [1e-3, 0.3].
+        eta = jnp.where(
+            improved,
+            jnp.clip(jnp.sqrt(jnp.maximum(rel_decrease, 0.0)), 1e-3, 0.3),
+            jnp.asarray(1e-3, eta.dtype),
+        )
+        return cam, pts, lam, cost, it + 1, done, eta
 
     def cond(state):
-        *_, it, done = state
+        cam, pts, lam, cost, it, done, eta = state
         return (it < max_iters) & jnp.logical_not(done)
 
     cost0 = cost_fn(problem.cam_params, problem.points)
@@ -127,8 +136,9 @@ def bundle_adjust(
         cost0,
         jnp.asarray(0),
         jnp.asarray(False),
+        jnp.asarray(0.3, dtype=problem.points.dtype),
     )
-    cam, pts, _, cost, it, _ = jax.lax.while_loop(cond, lm_step, state)
+    cam, pts, _, cost, it, _, _ = jax.lax.while_loop(cond, lm_step, state)
     err1 = mean_reprojection_error(problem, cam, pts)
     return BAResult(
         cam_params=cam,

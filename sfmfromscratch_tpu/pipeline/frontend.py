@@ -116,10 +116,16 @@ def make_dog_extractor(cfg: ExtractorConfig):
     return extract
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def extract_features_batch(images_bw: jax.Array, cfg: ExtractorConfig) -> Features:
     """Batched pyramid extraction: (B, H, W) images -> Features with leading
     batch axis. One compiled program for the whole image set; on a mesh, shard
-    the batch axis for pair/data parallelism (SURVEY.md §2.3 item 1)."""
+    the batch axis for pair/data parallelism (SURVEY.md §2.3 item 1).
+
+    Jitted with the (frozen, hashable) config static: executed eagerly this
+    traced per-level Harris/SIFT programs plus ~7 eager concatenates per call,
+    and over a tunneled chip every eager dispatch costs ~8-25 ms (round-3
+    profiling) — the features stage's real cost was dispatch, not compute."""
     return jax.vmap(lambda im: extract_features(im, cfg))(images_bw)
 
 
@@ -141,11 +147,17 @@ def preprocess_image_batch(imgs: jax.Array, scale_factor: float) -> jax.Array:
     grayscale, ONE device program + ONE upload for the whole chunk (the
     per-image eager path pays an upload plus 1-2 program launches per image —
     round-3 features-stage profile).  Accepts uint8 input (preferred: 4x less
-    tunnel upload traffic) and converts on device with the same ``/255`` IEEE
-    op the host path uses, so results are bit-identical; vmapped elementwise
-    math matches the single-image path, so golden parity is unaffected."""
+    tunnel upload traffic).
+
+    Numerics: uint8 -> [0,1] is CANONICALLY ``x * float32(1/255)``, not
+    ``x / 255.0``.  XLA strength-reduces constant division to reciprocal
+    multiply anyway, and its runtime f32 divide (reciprocal + Newton) is not
+    bit-equal to the host's correctly-rounded divide — so the multiply form
+    is the only one that is bit-identical between host numpy and every XLA
+    backend (verified on CPU; round-3 regression hunt).  The vmapped
+    gray/resize math is bit-identical to the per-image path."""
     if imgs.dtype == jnp.uint8:
-        imgs = imgs.astype(jnp.float32) / 255.0
+        imgs = imgs.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
     if imgs.ndim == 4:
         imgs = jax.vmap(rgb_to_gray)(imgs)
     if scale_factor != 1.0:

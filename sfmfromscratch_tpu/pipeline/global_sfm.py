@@ -30,6 +30,7 @@ is physical image 2 (the identity base camera never enters its BA).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, List, Optional
 
@@ -445,6 +446,7 @@ class GlobalSfmEngine(SfmEngine):
             self.stage_times["relpose_refine"] = (
                 time.time() - t0 - self.stage_times["relpose_ransac"]
             )
+            self._fix_planar_degenerate_edges(pairs, pgs_all, inl_masks, ninl, Eb)
         good = (ninl >= self.min_edge_inliers) & che
         if not good.any() and len(pairs):
             # keep the strongest edges even if cheirality was noisy
@@ -453,6 +455,79 @@ class GlobalSfmEngine(SfmEngine):
         for e, k in enumerate(pairs):
             self._edge_inl[k] = inl_masks[e] if good[e] else np.zeros_like(inl_masks[e])
         self.stage_times["relative_poses"] = time.time() - t0
+
+    def _fix_planar_degenerate_edges(
+        self, pairs, pgs_all, inl_masks, ninl, Eb
+    ) -> None:
+        """Detect H-degenerate edges and replace their poses with the
+        homography decomposition (geometry/homography.py).
+
+        A plane-dominant match set under-determines the essential matrix — the
+        8-point/Sampson pipeline (and cv2's recoverPose, measured 14 deg off
+        on the plane renderer) can return a confidently-supported wrong
+        rotation. For edges whose epipolar inliers are >= ``0.8x`` explained
+        by one homography, the pose is recomputed by Faugeras decomposition:
+        off-plane points pick between the two valid interpretations when
+        available; otherwise candidate 0 is used and the runner-up is stashed
+        in ``self._edge_alt`` for the averaging loop's graph-consistency swap.
+        One batched device program for the whole edge set."""
+        from sfmfromscratch_tpu.geometry.homography import (
+            _transfer_err2,
+            candidate_epipolar_rms_batch,
+            fit_homography,
+            pose_from_homography_batch,
+        )
+
+        E = len(pairs)
+        self._edge_alt: Dict[int, tuple] = {}
+        if E == 0:
+            return
+        eye = np.eye(3, dtype=np.float32)
+        p1s = _pad_edges(jnp.asarray(np.stack([pg.p1 for pg in pgs_all])), Eb)
+        p2s = _pad_edges(jnp.asarray(np.stack([pg.p2 for pg in pgs_all])), Eb)
+        K1s = _pad_edges(jnp.asarray(np.stack([pg.K1 for pg in pgs_all])), Eb, eye)
+        K2s = _pad_edges(jnp.asarray(np.stack([pg.K2 for pg in pgs_all])), Eb, eye)
+        inls = _pad_edges(jnp.asarray(np.stack(inl_masks)), Eb, False)
+
+        hfit = fit_homography(p1s, p2s, inls, threshold=2.0)
+        hp = pose_from_homography_batch(hfit.H, K1s, K2s, p1s, p2s, inls)
+        e2 = jax.vmap(_transfer_err2)(hfit.H, p1s, p2s)
+        off = inls & (e2 > 4.0)
+        rms2, off_cnt = candidate_epipolar_rms_batch(
+            hp.R, hp.t, K1s, K2s, p1s, p2s, off
+        )
+        (h_num, h_ok, R2, t2, votes, rms2_np, cnt_np) = jax.device_get((
+            hfit.num_inliers[:E], hp.ok[:E], hp.R[:E], hp.t[:E],
+            hp.num_pos[:E], rms2[:E], off_cnt[:E],
+        ))
+        h_num = np.asarray(h_num, np.float64)
+        degen = (
+            np.asarray(h_ok, bool)
+            & (h_num >= 0.8 * np.maximum(ninl, 1))
+            & (ninl >= 12)
+        )
+        replaced, deferred = [], []
+        for e in np.nonzero(degen)[0]:
+            r = np.asarray(rms2_np[e], np.float64)
+            if cnt_np[e] >= 6 and (r.min() < 2.0) and (r.max() > 2.0 * r.min() + 1.0):
+                c = int(np.argmin(r))          # off-plane points separate
+            elif votes[e][0] > 1.05 * max(votes[e][1], 1):
+                c = 0                          # cheirality vote separates
+            else:
+                c = 0                          # ambiguous: stash the runner-up
+                self._edge_alt[e] = (
+                    np.asarray(R2[e][1], np.float64),
+                    np.asarray(t2[e][1], np.float64),
+                )
+                deferred.append(self._edges[e])
+            self._edge_R[e] = np.asarray(R2[e][c], np.float64)
+            self._edge_t[e] = np.asarray(t2[e][c], np.float64)
+            replaced.append(self._edges[e])
+        if replaced:
+            self.warnings.append(
+                f"planar-degenerate pose-from-H on {len(replaced)} edges"
+                + (f" ({len(deferred)} twofold-ambiguous)" if deferred else "")
+            )
 
     def _filter_edges_by_cycles(self, tau_deg: float = 3.0) -> None:
         """Triangle (cycle) consistency filter on relative rotations.
@@ -586,36 +661,51 @@ class GlobalSfmEngine(SfmEngine):
                 for e in t:
                     in_tri[e] = True
         unverifiable = alive & ~in_tri & (self._edge_w > 0)
+        if os.environ.get("SFM_DEBUG_CYCLE"):
+            import sys as _sys
+            print("CYCLE alive:", [self._edges[e] for e in np.nonzero(alive)[0]],
+                  file=_sys.stderr)
+            print("CYCLE in_tri:", [self._edges[e] for e in np.nonzero(in_tri)[0]],
+                  file=_sys.stderr)
+            print("CYCLE unverifiable:",
+                  [(self._edges[e], self._edge_w[e]) for e in np.nonzero(unverifiable)[0]],
+                  file=_sys.stderr)
 
-        if redundant:
-            # Redundant graph: keep an unverifiable edge only when it bridges
-            # components of the verified subgraph; drop the rest outright.
-            parent = np.arange(self.max_img)
+        # Unverifiable edges are QUARANTINED unless they bridge components of
+        # the verified subgraph (a chain-like graph has no triangles at all —
+        # every consecutive edge bridges, so nothing changes there; bridges
+        # are kept at damped weight).  Non-bridge unverifiables are exactly
+        # where doppelganger geometry hides (repeated structure yields
+        # high-inlier wrong edges that join no consistent triangle; round 3:
+        # one 57-inlier 20-deg-wrong edge damped into a sparse graph moved
+        # ATE 0.04 -> 0.17 of extent).  Quarantine is NOT final: the
+        # averaging loop's redemption pass re-admits any quarantined edge
+        # whose relative rotation agrees with the average built from
+        # verified edges — so a good-but-unverifiable edge costs one
+        # averaging round, while a doppelganger edge stays out.
+        parent = np.arange(self.max_img)
 
-            def _find(x):
-                while parent[x] != x:
-                    parent[x] = parent[parent[x]]
-                    x = parent[x]
-                return x
+        def _find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
 
-            for e in np.nonzero(alive & in_tri)[0]:
-                i, j = self._edges[e]
-                parent[_find(i - 1)] = _find(j - 1)
-            damped = np.zeros(E, bool)
-            # Strongest-first so the kept bridge is the best-supported one.
-            for e in sorted(np.nonzero(unverifiable)[0],
-                            key=lambda e: -self._edge_w[e]):
-                i, j = self._edges[e]
-                ri, rj = _find(i - 1), _find(j - 1)
-                if ri != rj:
-                    parent[ri] = rj
-                    damped[e] = True
-                else:
-                    alive[e] = False
-                    removed.append(self._edges[e])
-        else:
-            # Sparse graph: every unverifiable edge may be load-bearing; damp.
-            damped = unverifiable
+        for e in np.nonzero(alive & in_tri)[0]:
+            i, j = self._edges[e]
+            parent[_find(i - 1)] = _find(j - 1)
+        damped = np.zeros(E, bool)
+        # Strongest-first so the kept bridge is the best-supported one.
+        for e in sorted(np.nonzero(unverifiable)[0],
+                        key=lambda e: -self._edge_w[e]):
+            i, j = self._edges[e]
+            ri, rj = _find(i - 1), _find(j - 1)
+            if ri != rj:
+                parent[ri] = rj
+                damped[e] = True
+            else:
+                alive[e] = False
+                removed.append(self._edges[e])
 
         if removed:
             self.warnings.append(
@@ -654,6 +744,11 @@ class GlobalSfmEngine(SfmEngine):
         # Cycle-consistency outlier removal BEFORE any averaging: it needs no
         # global estimate, so it cannot be misdirected the way
         # residual-vs-average rejection can when the average is polluted.
+        # Pre-filter weights + inlier sets are kept for the redemption pass
+        # below (the greedy eviction can convict a good edge when the real
+        # culprit shares all its triangles).
+        w_pre = np.asarray(self._edge_w, np.float64).copy()
+        inl_pre = {k: self._edge_inl[k].copy() for k in self._edges}
         self._filter_edges_by_cycles()
         ei = np.asarray([i - 1 for i, _ in self._edges], np.int32)
         ej = np.asarray([j - 1 for _, j in self._edges], np.int32)
@@ -713,7 +808,8 @@ class GlobalSfmEngine(SfmEngine):
         # building. Two rounds: gross outliers distort the first average
         # enough to hide moderate ones.
         R = R0
-        for _round in range(3):
+        banned = np.zeros(E, bool)   # dropped by residual => never restored
+        for _round in range(4):
             R = rotation_averaging(
                 R_rel, ei_j, ej_j, R, edge_w=w_j,
                 num_cameras=C, num_iters=self.rot_avg_iters,
@@ -729,27 +825,67 @@ class GlobalSfmEngine(SfmEngine):
             )   # chordal residual, ||dR||_F = 2*sqrt(2)*sin(theta/2)
             if not nz.any():
                 break
+            # Twofold-homography disambiguation by graph consistency: a
+            # planar-degenerate edge with no off-plane points carries two
+            # equally-supported pose interpretations (_edge_alt); the rest of
+            # the view graph now votes. One-shot swap when the runner-up fits
+            # the average distinctly better.
+            swapped = []
+            for e, (R_a, t_a) in list(getattr(self, "_edge_alt", {}).items()):
+                r_alt = np.linalg.norm(R_a @ R_np[ei[e]] - R_np[ej[e]])
+                if r_alt < 0.7 * r_edge[e]:
+                    self._edge_R[e] = R_a
+                    self._edge_t[e] = t_a
+                    r_edge[e] = r_alt
+                    del self._edge_alt[e]
+                    swapped.append(self._edges[e])
+            if swapped:
+                R_rel = _pad_edges(
+                    jnp.asarray(self._edge_R, jnp.float32), Eb, eye
+                )
+                self.warnings.append(
+                    "homography-ambiguity swap on edges: "
+                    + ", ".join(map(str, swapped))
+                )
             med = np.median(r_edge[nz])
-            # Backup only — the cycle filter has already evicted the wrong
-            # edges, so this rejects just the gross stragglers (e.g. an edge
-            # whose only triangles were themselves removed).
             gate = max(4.0 * med, 0.15)
+            # Redemption: the greedy cycle eviction convicts a GOOD edge when
+            # the culprit shares all its triangles (observed: a 1-deg edge
+            # evicted while the 20-deg edge it exposed survived damped as a
+            # bridge). An averaged estimate now exists, so a cycle-filter
+            # casualty whose relative rotation AGREES with it gets its weight
+            # and inlier set back; truly wrong edges fail this test by
+            # construction. One-way: an edge dropped by the residual gate
+            # below is banned from restoration (no oscillation).
+            cand = (~nz) & (w_pre > 0) & (r_edge < 0.5 * gate) & ~banned
             bad = nz & (r_edge > gate)
-            if not bad.any():
+            if not bad.any() and not cand.any():
                 break
-            self.warnings.append(
-                f"dropped {int(bad.sum())} rotation-inconsistent edges: "
-                + ", ".join(str(self._edges[e]) for e in np.nonzero(bad)[0])
-            )
-            w = np.where(bad, 0.0, w)
+            if cand.any():
+                self.warnings.append(
+                    f"restored {int(cand.sum())} cycle-filter casualties: "
+                    + ", ".join(str(self._edges[e]) for e in np.nonzero(cand)[0])
+                )
+                w = np.where(cand, w_pre, w)
+                for e in np.nonzero(cand)[0]:
+                    k = self._edges[e]
+                    self._edge_inl[k] = inl_pre[k]
+                self._edge_w = np.where(cand, w_pre, self._edge_w)
+            if bad.any():
+                self.warnings.append(
+                    f"dropped {int(bad.sum())} rotation-inconsistent edges: "
+                    + ", ".join(str(self._edges[e]) for e in np.nonzero(bad)[0])
+                )
+                banned |= bad
+                w = np.where(bad, 0.0, w)
+                for e in np.nonzero(bad)[0]:
+                    k = self._edges[e]
+                    self._edge_inl[k] = np.zeros_like(self._edge_inl[k])
+                self._edge_w = np.where(bad, 0.0, self._edge_w)
             nz = w > 0
             w_j = _pad_edges(
                 jnp.asarray((w / max(w.max(), 1e-9)).astype(np.float32)), Eb
             )
-            for e in np.nonzero(bad)[0]:
-                k = self._edges[e]
-                self._edge_inl[k] = np.zeros_like(self._edge_inl[k])
-            self._edge_w = np.where(bad, 0.0, self._edge_w)
 
         # Re-estimate every edge's translation direction with the averaged
         # rotations held fixed — one batched eigh over all inlier constraint
