@@ -15,6 +15,7 @@ has static shape.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -116,11 +117,17 @@ def bundle_adjust(
         # proportional to how nonlinear the problem still is.  Fast progress
         # (large relative decrease) => loose tolerance; near convergence (or
         # a rejected step) => tight.  Bounded to [1e-3, 0.3].
-        eta = jnp.where(
-            improved,
-            jnp.clip(jnp.sqrt(jnp.maximum(rel_decrease, 0.0)), 1e-3, 0.3),
-            jnp.asarray(1e-3, eta.dtype),
-        )
+        # SFM_NO_CG_FORCING=1 pins eta to 0 (full fixed-iteration CG) for
+        # A/B numerics diagnostics; the update rule here MUST stay mirrored
+        # in parallel/sharded_ba.py and ba/selfcal.py (round-3 regression).
+        if os.environ.get("SFM_NO_CG_FORCING"):
+            eta = jnp.zeros_like(eta)
+        else:
+            eta = jnp.where(
+                improved,
+                jnp.clip(jnp.sqrt(jnp.maximum(rel_decrease, 0.0)), 1e-3, 0.3),
+                jnp.asarray(1e-3, eta.dtype),
+            )
         return cam, pts, lam, cost, it + 1, done, eta
 
     def cond(state):
@@ -136,7 +143,10 @@ def bundle_adjust(
         cost0,
         jnp.asarray(0),
         jnp.asarray(False),
-        jnp.asarray(0.3, dtype=problem.points.dtype),
+        jnp.asarray(
+            0.0 if os.environ.get("SFM_NO_CG_FORCING") else 0.3,
+            dtype=problem.points.dtype,
+        ),
     )
     cam, pts, _, cost, it, _, _ = jax.lax.while_loop(cond, lm_step, state)
     err1 = mean_reprojection_error(problem, cam, pts)

@@ -30,6 +30,12 @@ class BAProblem(NamedTuple):
     obs_xy:     (O, 2) observed pixels
     obs_w:      (O,) float32 observation weight (0 = padding/invalid)
     cam_fixed:  (C,) bool — cameras frozen during optimization (gauge fixing)
+    pt_fixed:   (P,) bool or None — points frozen during optimization.  Used
+                by the advancing-window streaming solver (pipeline/streaming.py)
+                to hold boundary tracks whose observations are partly outside
+                the resident window; their observations still constrain free
+                cameras.  None == all points free (the common case; keeps the
+                pytree identical to the pre-existing layout).
     """
 
     cam_params: jax.Array
@@ -40,6 +46,7 @@ class BAProblem(NamedTuple):
     obs_xy: jax.Array
     obs_w: jax.Array
     cam_fixed: jax.Array
+    pt_fixed: Optional[jax.Array] = None
 
     @property
     def num_cameras(self) -> int:
@@ -63,6 +70,7 @@ def make_problem(
     K_list: np.ndarray,
     obs_weights: Optional[np.ndarray] = None,
     cam_fixed: Optional[np.ndarray] = None,
+    pt_fixed: Optional[np.ndarray] = None,
     dtype=jnp.float32,
 ) -> BAProblem:
     """Build a BAProblem from reference-layout inputs (the tuple produced by
@@ -82,6 +90,7 @@ def make_problem(
         obs_xy=jnp.asarray(points_2d, dtype=dtype),
         obs_w=jnp.asarray(obs_weights, dtype=dtype),
         cam_fixed=jnp.asarray(cam_fixed, dtype=bool),
+        pt_fixed=(None if pt_fixed is None else jnp.asarray(pt_fixed, bool)),
     )
 
 
@@ -125,6 +134,12 @@ def pad_problem(
         obs_w=pad(problem.obs_w, Op),
         cam_fixed=jnp.concatenate(
             [problem.cam_fixed, jnp.ones(Cp - C, dtype=bool)]
+        ),
+        pt_fixed=(
+            None if problem.pt_fixed is None
+            else jnp.concatenate(
+                [problem.pt_fixed, jnp.ones(Pp - P, dtype=bool)]
+            )
         ),
     )
 
@@ -211,4 +226,10 @@ def jacobian_blocks(problem: BAProblem, cam_params: jax.Array, points: jax.Array
     r = residuals(problem, cam_params, points)
     fixed = problem.cam_fixed[problem.obs_cam]
     Jc = jnp.where(fixed[:, None, None], 0.0, Jc)
+    if problem.pt_fixed is not None:
+        # Frozen points: zero point blocks => gp = 0, W = 0 per observation,
+        # so dp = V^-1 (gp - W' dc) is EXACTLY zero for them in every solver
+        # (single-device, sharded, selfcal) without per-solver special cases.
+        pfix = problem.pt_fixed[problem.obs_pt]
+        Jp = jnp.where(pfix[:, None, None], 0.0, Jp)
     return Jc, Jp, r

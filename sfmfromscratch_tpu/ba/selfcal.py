@@ -74,7 +74,7 @@ def bundle_adjust_selfcal(
         return total_cost(p, cam, pts)
 
     def lm_step(state):
-        cam, pts, s, lam, cost, it, done = state
+        cam, pts, s, lam, cost, it, done, eta = state
         p_s = _scaled(problem, s)
         Jc, Jp, r = jacobian_blocks(p_s, cam, pts)
         # d r / d s analytically: r = w (proj - obs); d proj / d s =
@@ -123,8 +123,10 @@ def bundle_adjust_selfcal(
                 "cij,cj->ci", Uinv, x.reshape(C, 6)
             ).reshape(-1)
 
-        u = conjugate_gradient(mv, b_c.reshape(-1), cg_iters, precond=pc)
-        v = conjugate_gradient(mv, q.reshape(-1), cg_iters, precond=pc)
+        u = conjugate_gradient(mv, b_c.reshape(-1), cg_iters, precond=pc,
+                               tol_rel=eta)
+        v = conjugate_gradient(mv, q.reshape(-1), cg_iters, precond=pc,
+                               tol_rel=eta)
         qf = q.reshape(-1)
         denom = hss_red - jnp.vdot(qf, v)
         ds = (b_s - jnp.vdot(qf, u)) / jnp.where(
@@ -147,10 +149,18 @@ def bundle_adjust_selfcal(
         rel = (cost - new_cost) / jnp.maximum(cost, 1e-20)
         done = done | (improved & (rel < ftol))
         cost = jnp.where(improved, new_cost, cost)
-        return cam, pts, s, lam, cost, it + 1, done
+        # Eisenstat-Walker forcing — MUST mirror ba/lm.py:lm_step exactly so
+        # the sharded selfcal branch (parallel/sharded_ba.py) stays on the
+        # same LM trajectory (tests/test_parallel.py selfcal parity).
+        eta = jnp.where(
+            improved,
+            jnp.clip(jnp.sqrt(jnp.maximum(rel, 0.0)), 1e-3, 0.3),
+            jnp.asarray(1e-3, eta.dtype),
+        )
+        return cam, pts, s, lam, cost, it + 1, done, eta
 
     def cond(state):
-        *_, it, done = state
+        *_, it, done, eta = state
         return (it < max_iters) & jnp.logical_not(done)
 
     s0 = jnp.asarray(1.0, problem.points.dtype)
@@ -160,8 +170,9 @@ def bundle_adjust_selfcal(
         problem.cam_params, problem.points, s0,
         jnp.asarray(init_damping, problem.points.dtype),
         cost0, jnp.asarray(0), jnp.asarray(False),
+        jnp.asarray(0.3, problem.points.dtype),
     )
-    cam, pts, s, _, cost, it, _ = jax.lax.while_loop(cond, lm_step, state)
+    cam, pts, s, _, cost, it, _, _ = jax.lax.while_loop(cond, lm_step, state)
     err1 = mean_reprojection_error(_scaled(problem, s), cam, pts)
     res = BAResult(
         cam_params=cam, points=pts, initial_cost=cost0, final_cost=cost,

@@ -75,25 +75,66 @@ def bundle_adjust_sharded(
     other normal-equation block, and the bordered solve costs a second CG on
     the same psum-per-matvec operator. Returns ``(BAResult, s)`` instead of
     ``BAResult``."""
-    num_shards = mesh.shape[axis] * (
-        int(np.prod([s for n, s in mesh.shape.items() if n != axis]))
-    )
-    # Observations shard over ALL mesh axes (flattened): simplest full use of
-    # the mesh. We express that by sharding over axis only and replicating on
-    # the rest; here we just use the named axis.
     num_shards = mesh.shape[axis]
     problem = pad_problem_for_sharding(problem, num_shards)
-    C, Pn = problem.num_cameras, problem.num_points
+    Pn = problem.num_points
 
+    fn = _sharded_lm_fn(
+        mesh, axis, max_iters, cg_iters, init_damping, damping_up,
+        damping_down, ftol, huber_delta, selfcal,
+    )
+    pt_fixed = problem.pt_fixed
+    if pt_fixed is None:
+        pt_fixed = jnp.zeros(Pn, dtype=bool)
+    args = (
+        problem.cam_params, problem.points, problem.K,
+        problem.obs_cam, problem.obs_pt, problem.obs_xy, problem.obs_w,
+        problem.cam_fixed, pt_fixed,
+    )
+    if jax.process_count() > 1:
+        # Multi-host: jit over a multi-process mesh needs GLOBAL input arrays;
+        # every process holds the full problem (built redundantly, SPMD-style)
+        # and contributes the shards it addresses.
+        from sfmfromscratch_tpu.parallel.mesh import put_global
+
+        args = tuple(put_global(a, mesh, s)
+                     for a, s in zip(args, _sharded_in_specs(axis)))
+    cam, pts, s, c0, c1, e0, e1, it = fn(*args)
+    res = BAResult(
+        cam_params=cam, points=pts, initial_cost=c0, final_cost=c1,
+        initial_mean_error=e0, final_mean_error=e1, iterations_used=it,
+    )
+    return (res, s) if selfcal else res
+
+
+def _sharded_in_specs(axis: str):
     obs_spec = P(axis)
     rep = P()
+    return (rep, rep, rep, obs_spec, obs_spec, obs_spec, obs_spec, rep, rep)
 
-    def lm_program(cam0, pts0, K, obs_cam, obs_pt, obs_xy, obs_w, cam_fixed):
+
+@functools.lru_cache(maxsize=32)
+def _sharded_lm_fn(
+    mesh: Mesh, axis: str, max_iters: int, cg_iters: int,
+    init_damping: float, damping_up: float, damping_down: float,
+    ftol: float, huber_delta: float, selfcal: bool,
+):
+    """Build (once per (mesh, config)) the jitted shard_map LM program.
+
+    Cached so repeated solves — the engine's ba_rounds, the streaming
+    window sweep (pipeline/streaming.py) — reuse one compiled program per
+    problem shape instead of re-tracing every call."""
+    rep = P()
+
+    def lm_program(cam0, pts0, K, obs_cam, obs_pt, obs_xy, obs_w, cam_fixed,
+                   pt_fixed):
         """Runs per-shard under shard_map; obs_* are local shards."""
+        C = cam0.shape[0]
+        Pn = pts0.shape[0]
         base = BAProblem(
             cam_params=cam0, points=pts0, K=K,
             obs_cam=obs_cam, obs_pt=obs_pt, obs_xy=obs_xy, obs_w=obs_w,
-            cam_fixed=cam_fixed,
+            cam_fixed=cam_fixed, pt_fixed=pt_fixed,
         )
 
         def scaled(s):
@@ -123,7 +164,7 @@ def bundle_adjust_sharded(
             return tot / jnp.maximum(n, 1.0)
 
         def lm_step(state):
-            cam, pts, s, lam, cost, it, done = state
+            cam, pts, s, lam, cost, it, done, eta = state
             local = scaled(s)
             Jc, Jp, r = jacobian_blocks(local, cam, pts)
             if selfcal:
@@ -202,8 +243,10 @@ def bundle_adjust_sharded(
                 hss_red = Hss_d - jnp.sum(Wsp * VinvWsp)
                 b_s = gs - jnp.sum(Wsp * cvp)
 
-                u = conjugate_gradient(matvec, b_rhs, num_iters=cg_iters, precond=pc)
-                v = conjugate_gradient(matvec, q.reshape(-1), num_iters=cg_iters, precond=pc)
+                u = conjugate_gradient(matvec, b_rhs, num_iters=cg_iters,
+                                       precond=pc, tol_rel=eta)
+                v = conjugate_gradient(matvec, q.reshape(-1), num_iters=cg_iters,
+                                       precond=pc, tol_rel=eta)
                 qf = q.reshape(-1)
                 denom = hss_red - jnp.vdot(qf, v)
                 ds = (b_s - jnp.vdot(qf, u)) / jnp.where(
@@ -213,7 +256,7 @@ def bundle_adjust_sharded(
             else:
                 ds = jnp.asarray(0.0, pts.dtype)
                 dc = conjugate_gradient(
-                    matvec, b_rhs, num_iters=cg_iters, precond=pc
+                    matvec, b_rhs, num_iters=cg_iters, precond=pc, tol_rel=eta
                 ).reshape(C, 6)
             a2 = jnp.einsum("oji,oj->oi", W, dc[obs_cam])
             b2 = jax.lax.psum(jax.ops.segment_sum(a2, obs_pt, num_segments=Pn), axis)
@@ -235,44 +278,36 @@ def bundle_adjust_sharded(
             rel = (cost - new_cost) / jnp.maximum(cost, 1e-20)
             done = done | (improved & (rel < ftol))
             cost = jnp.where(improved, new_cost, cost)
-            return cam, pts, s, lam, cost, it + 1, done
+            # Eisenstat-Walker forcing — MUST mirror ba/lm.py:lm_step exactly,
+            # or the sharded and single-device solvers take different LM
+            # trajectories and the parity tests (tests/test_parallel.py,
+            # tests/test_multiprocess.py) fail (round-3 regression).
+            eta = jnp.where(
+                improved,
+                jnp.clip(jnp.sqrt(jnp.maximum(rel, 0.0)), 1e-3, 0.3),
+                jnp.asarray(1e-3, eta.dtype),
+            )
+            return cam, pts, s, lam, cost, it + 1, done, eta
 
         def cond(state):
-            *_, it, done = state
+            *_, it, done, eta = state
             return (it < max_iters) & jnp.logical_not(done)
 
         s0 = jnp.asarray(1.0, pts0.dtype)
         cost0 = cost_fn(cam0, pts0, s0)
         err0 = mean_err(cam0, pts0, s0)
         state = (cam0, pts0, s0, jnp.asarray(init_damping, pts0.dtype), cost0,
-                 jnp.asarray(0), jnp.asarray(False))
-        cam, pts, s, _, cost, it, _ = jax.lax.while_loop(cond, lm_step, state)
+                 jnp.asarray(0), jnp.asarray(False),
+                 jnp.asarray(0.3, pts0.dtype))
+        cam, pts, s, _, cost, it, _, _ = jax.lax.while_loop(cond, lm_step, state)
         err1 = mean_err(cam, pts, s)
         return cam, pts, s, cost0, cost, err0, err1, it
 
-    in_specs = (rep, rep, rep, obs_spec, obs_spec, obs_spec, obs_spec, rep)
     fn = shard_map(
         lm_program,
         mesh=mesh,
-        in_specs=in_specs,
+        in_specs=_sharded_in_specs(axis),
         out_specs=(rep, rep, rep, rep, rep, rep, rep, rep),
         check_vma=False,
     )
-    args = (
-        problem.cam_params, problem.points, problem.K,
-        problem.obs_cam, problem.obs_pt, problem.obs_xy, problem.obs_w,
-        problem.cam_fixed,
-    )
-    if jax.process_count() > 1:
-        # Multi-host: jit over a multi-process mesh needs GLOBAL input arrays;
-        # every process holds the full problem (built redundantly, SPMD-style)
-        # and contributes the shards it addresses.
-        from sfmfromscratch_tpu.parallel.mesh import put_global
-
-        args = tuple(put_global(a, mesh, s) for a, s in zip(args, in_specs))
-    cam, pts, s, c0, c1, e0, e1, it = jax.jit(mm_f32(fn))(*args)
-    res = BAResult(
-        cam_params=cam, points=pts, initial_cost=c0, final_cost=c1,
-        initial_mean_error=e0, final_mean_error=e1, iterations_used=it,
-    )
-    return (res, s) if selfcal else res
+    return jax.jit(mm_f32(fn))

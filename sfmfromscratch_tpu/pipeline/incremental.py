@@ -836,6 +836,8 @@ class SfmEngine:
         window-1 consecutive pairs, no pair shard, no resume cache); anything
         fancier falls back to the staged path. Returns False when not taken.
         """
+        if os.environ.get("SFM_NO_FUSED_FRONT"):
+            return False  # diagnostics: force the staged multi-program path
         if self._pair_shard is not None or self.pair_cache_dir:
             return False
         if not self._use_scan_chain() or self.max_img < 3:
