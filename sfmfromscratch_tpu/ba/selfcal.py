@@ -170,7 +170,7 @@ def bundle_adjust_selfcal(
         problem.cam_params, problem.points, s0,
         jnp.asarray(init_damping, problem.points.dtype),
         cost0, jnp.asarray(0), jnp.asarray(False),
-        jnp.asarray(0.3, problem.points.dtype),
+        jnp.asarray(0.15, problem.points.dtype),
     )
     cam, pts, s, _, cost, it, _, _ = jax.lax.while_loop(cond, lm_step, state)
     err1 = mean_reprojection_error(_scaled(problem, s), cam, pts)

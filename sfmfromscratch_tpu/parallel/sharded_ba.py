@@ -298,7 +298,7 @@ def _sharded_lm_fn(
         err0 = mean_err(cam0, pts0, s0)
         state = (cam0, pts0, s0, jnp.asarray(init_damping, pts0.dtype), cost0,
                  jnp.asarray(0), jnp.asarray(False),
-                 jnp.asarray(0.3, pts0.dtype))
+                 jnp.asarray(0.15, pts0.dtype))
         cam, pts, s, _, cost, it, _, _ = jax.lax.while_loop(cond, lm_step, state)
         err1 = mean_err(cam, pts, s)
         return cam, pts, s, cost0, cost, err0, err1, it

@@ -122,8 +122,19 @@ class GlobalSfmEngine(SfmEngine):
         retrieval_k: int = 6,
         keyframe_step: int = 1,
         keyframe_flow_px: Optional[float] = None,
+        stream_ba_window: Optional[int] = None,
+        stream_ba_block_cams: int = 32,
         **kwargs,
     ):
+        # Advancing-window map-block streaming (SURVEY.md §5.7): with
+        # ``stream_ba_window`` set, the final BA runs out-of-core through
+        # pipeline/streaming.py — the map spills to a block store and only a
+        # ``stream_ba_window``-block window (``stream_ba_block_cams`` cameras
+        # per block) is resident per solve, boundary cameras/tracks frozen.
+        # The reference's only answer at scale is the monolithic dense solve
+        # (Runner.py:289-303). See docs/MULTIHOST.md.
+        self.stream_ba_window = stream_ba_window
+        self.stream_ba_block_cams = stream_ba_block_cams
         # Keyframing for densely-sampled sequences (video): with step s > 1,
         # the view graph / averaging / triangulation run on every s-th image
         # only, and the remaining frames register afterwards by batched PnP
@@ -1317,17 +1328,70 @@ class GlobalSfmEngine(SfmEngine):
         if self.keyframed:
             self._register_nonkeyframes(feats)
         # Camera 0 frozen: the averaging gauge (R=I, c=0) anchors BA.
-        err_before = None
-        for r in range(self.ba_rounds):
-            self._global_ba(freeze_before=1)
-            if err_before is None:
-                err_before = self.errors_before_after_ba[0]
-            if r < self.ba_rounds - 1 and self._regate_observations() == 0:
-                break
-        self.errors_before_after_ba = (err_before, self.errors_before_after_ba[1])
+        if self.stream_ba_window is not None:
+            self._stream_ba()
+        else:
+            err_before = None
+            for r in range(self.ba_rounds):
+                self._global_ba(freeze_before=1)
+                if err_before is None:
+                    err_before = self.errors_before_after_ba[0]
+                if r < self.ba_rounds - 1 and self._regate_observations() == 0:
+                    break
+            self.errors_before_after_ba = (
+                err_before, self.errors_before_after_ba[1])
         if self.model_name is not None:
             self.save_data()
         return self
+
+    def _stream_ba(self) -> None:
+        """Final BA through the advancing-window block store
+        (pipeline/streaming.py, SURVEY.md §5.7): spill the map to contiguous
+        camera blocks on disk, sweep a bounded window over them (sharded over
+        ``self.mesh`` when present), read the refined state back. On a
+        multi-host pod each host would own its blocks and the window exchange
+        rides DCN (docs/MULTIHOST.md); the solve inside a window is the same
+        psum-sharded Schur/CG as the monolithic path."""
+        import shutil
+        import tempfile
+
+        from sfmfromscratch_tpu.pipeline.streaming import (
+            MapBlockStore, stream_bundle_adjust,
+        )
+
+        t0 = time.time()
+        frames, tracks, xy = self.map.observations()
+        cam_params = np.array(
+            [np.hstack([rv, t]) for rv, t in self.global_poses])
+        root = tempfile.mkdtemp(prefix="mapblocks_")
+        try:
+            store = MapBlockStore.build_from_arrays(
+                root, cam_params, np.stack(self.global_K).astype(np.float64),
+                self.map.points(), frames, tracks, xy,
+                block_cams=self.stream_ba_block_cams,
+            )
+            ba_cfg = self.config.ba
+            stats = stream_bundle_adjust(
+                store, window_blocks=self.stream_ba_window, mesh=self.mesh,
+                sweeps=max(2, self.ba_rounds), max_iters=ba_cfg.max_lm_iters,
+                cg_iters=60, ftol=ba_cfg.ftol,
+                huber_delta=ba_cfg.huber_delta, regate_px=self.regate_px,
+            )
+            cams, _Ks = store.read_cameras()
+            ids, xyz = store.read_points()
+            pts = self.map.points().copy()
+            pts[ids] = xyz
+            self.map.update_points(pts)
+            self.global_poses = [
+                (np.asarray(c[:3], np.float64), np.asarray(c[3:], np.float64))
+                for c in cams
+            ]
+            self.errors_before_after_ba = (
+                stats.initial_error, stats.final_error)
+            self.stream_stats = stats
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        self.stage_times["ba(stream)"] = time.time() - t0
 
     def _regate_observations(self) -> int:
         """Drop observations whose residual under the CURRENT (post-BA) model
