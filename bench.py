@@ -126,7 +126,26 @@ def run_ours(num_views=10):
         f"stages: " + ", ".join(f"{k}={v:.2f}s" for k, v in eng.stage_times.items()))
     log(f"bench: reproj err before/after BA: {eng.errors_before_after_ba}")
     log_ate(eng, gt_poses)
-    return fps, eng
+
+    # Honest stage attribution: the async path's "fetch" time is mostly
+    # DEFERRED DEVICE COMPUTE blocking at the fetch fence, not transfer.  Run
+    # once more with per-stage sync fences (SFM_STAGE_SYNC) so the reported
+    # split separates device compute from transfer; the headline fps above
+    # stays the fence-free run (syncing costs extra round trips).
+    os.environ["SFM_STAGE_SYNC"] = "1"
+    try:
+        eng_sync = SfmEngine(seq_dir, num_views, config=cfg, single_K=K)
+    finally:
+        del os.environ["SFM_STAGE_SYNC"]
+    split = {k: round(v, 3) for k, v in eng_sync.stage_times.items()}
+    compute = split.get("front.compute", 0.0)
+    fetch = split.get("front.fetch", 0.0)
+    log("bench: synced stage split (separate diagnostic run): "
+        + ", ".join(f"{k}={v:.2f}s" for k, v in split.items()))
+    log(f"bench: front stage = {compute:.2f}s device compute + "
+        f"{fetch:.2f}s transfer (the async run folds compute into its "
+        f"fetch fence)")
+    return fps, eng, split
 
 
 def log_ate(eng, seq_dir_poses):
@@ -230,7 +249,7 @@ def main():
             device_label = "cpu-fallback"
 
     try:
-        fps, _ = run_ours(num_views)
+        fps, _, stage_split = run_ours(num_views)
     except Exception as e:  # emit structured failure, never a bare traceback
         import traceback
         traceback.print_exc(file=sys.stderr)
@@ -253,6 +272,9 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(vs, 2),
         "device": device_label,
+        # per-stage seconds from a separate run with sync fences: *.compute
+        # entries are device compute, *.fetch entries are actual transfer
+        "stage_split_synced": stage_split,
     }
     if device_label == "cpu-fallback":
         out["error"] = "tpu_unavailable"

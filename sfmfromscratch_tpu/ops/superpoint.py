@@ -245,3 +245,44 @@ def _forward_impl(net, variables, image: jax.Array, k: int, nms_radius: int, bor
         d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-10)
         d = d * mask[:, None]
         return xc, y, jnp.where(mask, top, 0.0), mask, d
+
+
+def make_hybrid_extractor(
+    k: int = 1024,
+    feature_width: int = 16,
+    rotation_invariant: bool = True,
+    weights_path: Optional[str] = "auto",
+    nms_radius: int = 4,
+):
+    """TinyPoint-detector + RootSIFT-descriptor hybrid for the engine's
+    ``feature_extractor`` slot (VERDICT round-2 item 4's resolution).
+
+    Measured on the perspective-correct renderer (tools/eval_superpoint.py):
+    the learned TinyPoint DETECTOR is competitive, but its 64-D learned
+    descriptors lose to RootSIFT at every baseline (21-27% vs 85-97% GT
+    -epipolar inlier rate). The hybrid keeps the learned detector's
+    repeatability and swaps in the descriptors that actually match —
+    the standard detector/descriptor decoupling (e.g. SuperPoint keypoints +
+    SIFT descriptors in hloc-style pipelines).
+
+    Usage::
+
+        eng = SfmEngine(path, n, config=cfg,
+                        feature_extractor=make_hybrid_extractor(k=600))
+    """
+    from sfmfromscratch_tpu.ops.sift import sift_descriptors
+
+    ext = SuperPointExtractor(weights_path)
+    border = max(4, feature_width)   # SIFT window must fit inside the image
+
+    def extract(image_bw: jax.Array) -> Features:
+        f = ext(image_bw, k=k, nms_radius=nms_radius, border=border)
+        kp = f.keypoints
+        desc = sift_descriptors(
+            image_bw, kp.x, kp.y, kp.mask,
+            feature_width=feature_width,
+            rotation_invariant=rotation_invariant,
+        )
+        return Features(keypoints=kp, descriptors=desc)
+
+    return extract

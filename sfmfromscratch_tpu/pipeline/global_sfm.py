@@ -625,6 +625,8 @@ class GlobalSfmEngine(SfmEngine):
             tau_eff = max(tau_deg, 1.5 * float(np.median(rr)))
 
         removed = []
+        removed_idx: set = set()
+        accused: set = set()      # ever sat in a violated triangle
         while True:
             live = live_residuals()
             if not any(a >= tau_eff for _, a in live):
@@ -647,6 +649,7 @@ class GlobalSfmEngine(SfmEngine):
             for t, a in live:
                 if a >= tau_eff:
                     in_bad.update(t)
+            accused |= in_bad
 
             def score(e):
                 return float(np.median(per_edge[e])) * np.sqrt(
@@ -656,6 +659,7 @@ class GlobalSfmEngine(SfmEngine):
             worst = min(in_bad, key=lambda e: (-score(e), self._edge_w[e]))
             alive[worst] = False
             removed.append(self._edges[worst])
+            removed_idx.add(worst)
 
         # Edges left in no surviving triangle are UNVERIFIABLE. Keep one only
         # when it bridges components of the verified subgraph (a chain-like
@@ -672,15 +676,6 @@ class GlobalSfmEngine(SfmEngine):
                 for e in t:
                     in_tri[e] = True
         unverifiable = alive & ~in_tri & (self._edge_w > 0)
-        if os.environ.get("SFM_DEBUG_CYCLE"):
-            import sys as _sys
-            print("CYCLE alive:", [self._edges[e] for e in np.nonzero(alive)[0]],
-                  file=_sys.stderr)
-            print("CYCLE in_tri:", [self._edges[e] for e in np.nonzero(in_tri)[0]],
-                  file=_sys.stderr)
-            print("CYCLE unverifiable:",
-                  [(self._edges[e], self._edge_w[e]) for e in np.nonzero(unverifiable)[0]],
-                  file=_sys.stderr)
 
         # Unverifiable edges are QUARANTINED unless they bridge components of
         # the verified subgraph (a chain-like graph has no triangles at all —
@@ -717,6 +712,75 @@ class GlobalSfmEngine(SfmEngine):
             else:
                 alive[e] = False
                 removed.append(self._edges[e])
+                removed_idx.add(e)
+
+        # Bridge-vs-casualties hypothesis test. A heavy WRONG edge can outlive
+        # the greedy eviction (support-normalized score favors high-inlier
+        # edges), shredding every good edge it shares triangles with until it
+        # survives as the sole damped bridge between components — at which
+        # point the rotation average has no choice but to follow it, and the
+        # averaging-loop redemption can never fire (measured: a window-3
+        # 10-view graph with one 200-inlier 40-deg edge ends with 5 good
+        # edges dead and every downstream rotation 40 deg off). For each
+        # damped bridge that sat in violated triangles, test the counter
+        # -hypothesis: restore the eviction casualties, drop the bridge. If
+        # that graph is still connected and the casualties certify each other
+        # (clean triangles among casualties + alive edges) while the bridge
+        # certifies nothing, the casualty set wins — majority evidence beats
+        # per-edge support.
+        for b in np.nonzero(damped)[0]:
+            if b not in accused or not removed_idx:
+                continue
+            alive2 = alive.copy()
+            alive2[list(removed_idx)] = True
+            alive2[b] = False
+            clean_restored, bridge_clean = 0, 0
+            for t in tris:
+                a_ok = all(alive2[e] for e in t)
+                if a_ok and any(e in removed_idx for e in t):
+                    if tri_angle(t) < tau_eff:
+                        clean_restored += 1
+                if b in t and all(alive2[e] or e == b for e in t):
+                    if tri_angle(t) < tau_eff:
+                        bridge_clean += 1
+            if clean_restored >= 2 and bridge_clean == 0:
+                # connectivity without the bridge, with casualties restored
+                p2 = np.arange(self.max_img)
+
+                def _f2(x):
+                    while p2[x] != x:
+                        p2[x] = p2[p2[x]]
+                        x = p2[x]
+                    return x
+
+                for e in np.nonzero(alive2 | damped)[0]:
+                    if e == b:
+                        continue
+                    i, j = self._edges[e]
+                    p2[_f2(i - 1)] = _f2(j - 1)
+                if len({_f2(c) for c in range(self.max_img)}) == 1:
+                    restored = []
+                    for e in sorted(removed_idx):
+                        in_clean = any(
+                            e in t and all(alive2[x] for x in t)
+                            and tri_angle(t) < tau_eff
+                            for t in tris
+                        )
+                        if in_clean:
+                            alive[e] = True
+                            restored.append(self._edges[e])
+                    if restored:
+                        for k in restored:
+                            removed.remove(k)
+                        removed_idx -= {x for x in removed_idx if alive[x]}
+                        alive[b] = False
+                        damped[b] = False
+                        removed.append(self._edges[b])
+                        self.warnings.append(
+                            "bridge-vs-casualties flip: dropped "
+                            f"{self._edges[b]}, restored "
+                            + ", ".join(map(str, restored))
+                        )
 
         if removed:
             self.warnings.append(
@@ -1273,19 +1337,34 @@ class GlobalSfmEngine(SfmEngine):
             m_all[fi] &= keep
 
         reg_hyp = min(512, self._pnp_hyp)
-        batched_pnp = jax.vmap(
+        batched_pnp = jax.jit(jax.vmap(
             lambda key, X, x, K, m: pnp_ransac(
                 key, X, x, K, mask=m, num_hypotheses=reg_hyp,
                 reproj_threshold=self.config.ransac.pnp_reproj_threshold,
             )
-        )
+        ))
         keys = jax.random.split(self._next_key(), F)
-        out = batched_pnp(
-            keys, jnp.asarray(X_all), jnp.asarray(x_all),
-            jnp.asarray(K_all), jnp.asarray(m_all),
-        )
-        R_np, t_np, inl_np, ok_np = jax.device_get(
-            (out.R, out.t, out.inliers, out.ok)
+        # Chunk the frame axis: ONE program over all frames is fine on CPU
+        # but on TPU its temps scale with F x reg_hyp and the small trailing
+        # dims pad 64x under (8,128) tiling — at config-5 scale (974 frames)
+        # the single program needs 17.3 GB HBM (measured OOM on v5e). 128
+        # frames per launch keeps temps ~2 GB; pow2 bucketing of the last
+        # chunk reuses at most two compiled programs.
+        CH = 128
+        parts = []
+        for c0 in range(0, F, CH):
+            n = min(CH, F - c0)
+            B = _pow2_bucket(n, CH)
+            sel = np.minimum(np.arange(c0, c0 + B), F - 1)
+            out = batched_pnp(
+                keys[sel], jnp.asarray(X_all[sel]), jnp.asarray(x_all[sel]),
+                jnp.asarray(K_all[sel]), jnp.asarray(m_all[sel]),
+            )
+            parts.append(jax.device_get(
+                (out.R[:n], out.t[:n], out.inliers[:n], out.ok[:n])
+            ))
+        R_np, t_np, inl_np, ok_np = (
+            np.concatenate([p[i] for p in parts]) for i in range(4)
         )
 
         for fi, f in enumerate(non_kf):

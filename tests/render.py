@@ -95,6 +95,54 @@ def write_sequence(tmpdir, images, exif_focal_mm=None):
         im.save(os.path.join(tmpdir, f"{i}.jpg"), **kwargs)
 
 
+def degrade_sequence(
+    rng,
+    images,
+    noise_sigma: float = 0.02,
+    exposure_drift: float = 0.25,
+    gamma_drift: float = 0.15,
+    blur_len: int = 5,
+    blur_every: int = 3,
+):
+    """Adversarial imaging model over a rendered sequence (VERDICT round-2
+    item 6): the reference's demo modality is real photographs
+    (main.py:29-30), whose sensors add what clean synthetics lack —
+
+    * shot + read noise: signal-dependent Gaussian (sigma scales with
+      sqrt(intensity)) plus a constant read-noise floor,
+    * exposure / white-balance drift: smooth per-frame gain and gamma drift
+      across the sequence (auto-exposure hunting, lighting changes),
+    * motion blur: a directional line kernel on every ``blur_every``-th frame
+      (handheld shake on some frames, not all).
+
+    Applied AFTER rendering so the geometry ground truth is untouched;
+    accuracy deltas under this model are tabulated in docs/PARITY.md.
+    """
+    from scipy.ndimage import convolve
+
+    n = max(len(images) - 1, 1)
+    out = []
+    for i, img in enumerate(images):
+        x = np.asarray(img, np.float32)
+        gain = 1.0 + exposure_drift * np.sin(2 * np.pi * i / n)
+        gamma = 1.0 + gamma_drift * np.cos(2 * np.pi * i / n)
+        x = np.clip(x * gain, 0.0, 1.0) ** gamma
+        if blur_len > 1 and blur_every > 0 and i % blur_every == blur_every - 1:
+            ang = rng.uniform(0, np.pi)
+            k = np.zeros((blur_len, blur_len), np.float32)
+            c = blur_len // 2
+            for s in np.linspace(-c, c, 4 * blur_len):
+                r = int(round(c + s * np.sin(ang)))
+                q = int(round(c + s * np.cos(ang)))
+                k[r, q] = 1.0
+            x = convolve(x, k / k.sum(), mode="nearest")
+        shot = noise_sigma * np.sqrt(np.clip(x, 0.0, 1.0))
+        read = 0.5 * noise_sigma
+        x = x + rng.standard_normal(x.shape).astype(np.float32) * (shot + read)
+        out.append(np.clip(x, 0.0, 1.0).astype(np.float32))
+    return out
+
+
 def render_planes(
     rng,
     num_views: int = 8,
@@ -103,6 +151,7 @@ def render_planes(
     orbit_step_deg: float = 10.0,
     tex_size: int = 512,
     orbit_radius: float = 7.0,
+    layout: str = "box",
 ):
     """Perspective-correct synthetic scene: a room of textured PLANES rendered
     by ray-plane intersection + bilinear texture sampling, so appearance warps
@@ -129,22 +178,45 @@ def render_planes(
 
         return np.clip(0.15 + 0.5 * blocks(64) + 0.35 * blocks(16), 0, 1)
 
-    # A textured BOX at the look-at center, orbited from outside (adjacent
-    # views share faces, so matching holds at any orbit step), plus a ground
-    # plane for extra support.
+    # Scene layouts:
+    #   "box"    — textured box + ground (default; every pair well-posed)
+    #   "wall"   — ONE dominant plane only: every match lies on it, so the
+    #              essential matrix is H-degenerate for every pair (drives
+    #              _fix_planar_degenerate_edges / geometry/homography.py)
+    #   "doppel" — box whose OPPOSITE faces share one texture: repeated
+    #              structure, the doppelganger failure mode (retrieval
+    #              proposes front<->back pairs with high-inlier WRONG poses)
     h = 1.8
     planes = []
-    specs = [
-        (center + [-h, -h, -h], [2 * h, 0, 0], [0, 2 * h, 0]),   # front (-z)
-        (center + [-h, -h, h], [2 * h, 0, 0], [0, 2 * h, 0]),    # back (+z)
-        (center + [-h, -h, -h], [0, 0, 2 * h], [0, 2 * h, 0]),   # left (-x)
-        (center + [h, -h, -h], [0, 0, 2 * h], [0, 2 * h, 0]),    # right (+x)
-        (center + [-h, -h, -h], [2 * h, 0, 0], [0, 0, 2 * h]),   # top (-y)
-        (center + [-4.5, 2.2, -4.5], [9.0, 0, 0], [0, 0, 9.0]),  # ground
-    ]
-    for O, U, V in specs:
+    if layout == "wall":
+        specs = [
+            (center + [-4.0, -3.0, h], [8.0, 0, 0], [0, 6.0, 0]),  # big wall
+        ]
+        tex_list = [smooth_texture()]
+    elif layout == "doppel":
+        t_fb, t_lr, t_top, t_gnd = (smooth_texture() for _ in range(4))
+        specs = [
+            (center + [-h, -h, -h], [2 * h, 0, 0], [0, 2 * h, 0]),   # front (-z)
+            (center + [-h, -h, h], [2 * h, 0, 0], [0, 2 * h, 0]),    # back (+z)
+            (center + [-h, -h, -h], [0, 0, 2 * h], [0, 2 * h, 0]),   # left (-x)
+            (center + [h, -h, -h], [0, 0, 2 * h], [0, 2 * h, 0]),    # right (+x)
+            (center + [-h, -h, -h], [2 * h, 0, 0], [0, 0, 2 * h]),   # top (-y)
+            (center + [-4.5, 2.2, -4.5], [9.0, 0, 0], [0, 0, 9.0]),  # ground
+        ]
+        tex_list = [t_fb, t_fb, t_lr, t_lr, t_top, t_gnd]
+    else:
+        specs = [
+            (center + [-h, -h, -h], [2 * h, 0, 0], [0, 2 * h, 0]),   # front (-z)
+            (center + [-h, -h, h], [2 * h, 0, 0], [0, 2 * h, 0]),    # back (+z)
+            (center + [-h, -h, -h], [0, 0, 2 * h], [0, 2 * h, 0]),   # left (-x)
+            (center + [h, -h, -h], [0, 0, 2 * h], [0, 2 * h, 0]),    # right (+x)
+            (center + [-h, -h, -h], [2 * h, 0, 0], [0, 0, 2 * h]),   # top (-y)
+            (center + [-4.5, 2.2, -4.5], [9.0, 0, 0], [0, 0, 9.0]),  # ground
+        ]
+        tex_list = [smooth_texture() for _ in specs]
+    for (O, U, V), tex in zip(specs, tex_list):
         planes.append((np.asarray(O, float), np.asarray(U, float),
-                       np.asarray(V, float), smooth_texture()))
+                       np.asarray(V, float), tex))
 
     poses = []
     for v in range(num_views):

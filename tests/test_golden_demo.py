@@ -182,7 +182,117 @@ def test_pyramid_pipeline_match_agreement(demo_pair):
     frac = float(agree.mean())
     print(f"pipeline agreement: ours {len(p1)} matches, ref {len(ref_p1)}, "
           f"{frac:.1%} of ours within 2 px of a reference match")
-    assert frac > 0.5
+    # measured 0.82 on this fixture (docs/PARITY.md); 0.75 leaves room for
+    # bin-tie jitter while still failing on any real pipeline regression
+    assert frac > 0.75
+
+
+def test_e2e_parity_ci(tmp_path):
+    """CI-sized end-to-end parity (VERDICT round-2 item 5): BOTH pipelines on
+    the same 4 views with the reference's optimizer loops capped hard enough
+    to finish in ~1-2 min, asserting our reconstruction matches or beats the
+    capped reference on reproj and ATE. This runs in the DEFAULT suite so a
+    full-pipeline parity regression (round 3 shipped one) fails CI; the
+    demo-scale version below (GOLDEN_DEMO=1) keeps the headline numbers."""
+    _ref_path()
+
+    rng = np.random.default_rng(11)
+    num_views = 4
+    images, K, poses, X = render_sequence(
+        rng, num_views=num_views, num_points=260, img_hw=(360, 480), patch=13,
+        f=520.0, step_t=(-0.12, 0.01, 0.02), step_r=(0.006, -0.015, 0.004),
+    )
+    seq_dir = tmp_path / "seq"
+    seq_dir.mkdir()
+    write_sequence(str(seq_dir), images)
+    K_half = K.copy()
+    K_half[:2] *= 0.5
+
+    import SFM as RefSFM
+    from Runner import SFMRunner as RefRunner
+    from PoseEstimator import PnPRansac as RefPnPRansac
+    from FeatureExtractor.SIFT.ScaleRotInvSIFT import ScaleRotInvSIFT as RefSRI
+
+    from sfmfromscratch_tpu.utils.metrics import (
+        absolute_trajectory_error, camera_centers,
+    )
+
+    params = dict(DEMO_PARAMS, num_interest_points=800, pyramid_level=2)
+
+    orig_calc = RefSFM.CameraPose.calculate_num_ransac_iterations
+    orig_ls = RefSFM.least_squares
+    orig_ba = RefSFM.BundleAdjustment.sparse_bundle_adjustment
+
+    def capped_ls(fun, x0, *a, **k):
+        if k.get("method") == "lm":
+            k.setdefault("max_nfev", 400)
+        return orig_ls(fun, x0, *a, **k)
+
+    RefSFM.CameraPose.calculate_num_ransac_iterations = staticmethod(
+        lambda *a, **k: 300)
+    RefSFM.least_squares = capped_ls
+    RefSFM.BundleAdjustment.sparse_bundle_adjustment = (
+        lambda self: (self.camera_params, self.points_3d))
+
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        ref = RefRunner(
+            str(seq_dir), num_views, params,
+            feature_extractor_class=RefSRI, match_threshold=0.85,
+            pose_estimator=RefPnPRansac, single_K=K_half, model_name=None,
+        )
+        (n_cams, n_pts, cam_idx, pt_idx, p2d, cam_params, p3d,
+         K_list) = ref.prepare_for_ba()
+        ref_err = ref.total_reprojection_error(
+            n_pts, cam_idx, pt_idx, p2d, cam_params,
+            np.array(ref.global_points_3D), K_list)
+        ref_rvecs = np.stack(
+            [np.asarray(rv).reshape(3) for rv, _ in ref.global_poses])
+        ref_ts = np.stack(
+            [np.asarray(t).reshape(3) for _, t in ref.global_poses])
+        ref_centers = camera_centers(ref_rvecs, ref_ts)
+    finally:
+        os.chdir(cwd)
+        RefSFM.CameraPose.calculate_num_ransac_iterations = orig_calc
+        RefSFM.least_squares = orig_ls
+        RefSFM.BundleAdjustment.sparse_bundle_adjustment = orig_ba
+
+    gt = np.stack([-(R.T @ t) for R, t in poses[1: len(ref_centers) + 1]])
+    extent = float(np.linalg.norm(gt.max(0) - gt.min(0)))
+    ref_ate = absolute_trajectory_error(ref_centers, gt)
+
+    from sfmfromscratch_tpu.config import (
+        BundleAdjustConfig, ExtractorConfig, MatcherConfig, PipelineConfig,
+        RansacConfig,
+    )
+    from sfmfromscratch_tpu.pipeline.incremental import SfmEngine
+
+    cfg = PipelineConfig(
+        extractor=ExtractorConfig(
+            num_interest_points=800, ksize=3, gaussian_size=7, sigma=6.0,
+            alpha=0.05, feature_width=18, pyramid_level=2,
+            pyramid_scale_factor=1.1,
+        ),
+        matcher=MatcherConfig(ratio_threshold=0.85, max_matches=800),
+        ransac=RansacConfig(),
+        ba=BundleAdjustConfig(),
+        scale_factor=0.5,
+    )
+    eng = SfmEngine(str(seq_dir), num_views, config=cfg, single_K=K_half)
+    ours_pre, ours_post = eng.errors_before_after_ba
+    rvecs = np.stack([rv for rv, _ in eng.global_poses])
+    ts = np.stack([t for _, t in eng.global_poses])
+    est = camera_centers(rvecs, ts)
+    gt_ours = np.stack([-(R.T @ t) for R, t in poses[1: len(est) + 1]])
+    ours_ate = absolute_trajectory_error(est, gt_ours)
+
+    print(f"\nCI e2e parity: ref reproj {ref_err:.3f} px ATE "
+          f"{100 * ref_ate / extent:.2f}%; ours {ours_pre:.3f}->"
+          f"{ours_post:.3f} px ATE {100 * ours_ate / extent:.2f}%")
+    assert ours_post <= max(1.1 * ref_err, 0.5)
+    assert ours_ate <= max(1.1 * ref_ate, 0.02 * extent)
+    assert eng.map.num_tracks > 100
 
 
 @pytest.mark.skipif(os.environ.get("GOLDEN_DEMO") != "1",

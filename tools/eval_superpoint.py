@@ -78,16 +78,23 @@ def run_pair(step_deg, seed=0):
     ext = SuperPointExtractor()  # auto: in-repo TinyPoint checkpoint
     tp1, tp2 = ext(im1, k=600), ext(im2, k=600)
     n_t, r_t = score(tp1, tp2)
-    return (n_s, r_s), (n_t, r_t)
+
+    from sfmfromscratch_tpu.ops.superpoint import make_hybrid_extractor
+
+    hyb = make_hybrid_extractor(k=600)
+    h1, h2 = hyb(im1), hyb(im2)
+    n_h, r_h = score(h1, h2)
+    return (n_s, r_s), (n_t, r_t), (n_h, r_h)
 
 
 def main():
     steps = [float(a) for a in sys.argv[1:]] or [8, 14, 20, 26, 32]
-    print(f"{'step':>6} | {'SIFT n':>7} {'inl%':>6} | {'TinyPoint n':>11} {'inl%':>6}")
+    print(f"{'step':>6} | {'SIFT n':>7} {'inl%':>6} | {'TinyPoint n':>11} "
+          f"{'inl%':>6} | {'hybrid n':>8} {'inl%':>6}")
     for s in steps:
-        (n_s, r_s), (n_t, r_t) = run_pair(s)
-        print(f"{s:6.0f} | {n_s:7d} {100*r_s:5.1f}% | {n_t:11d} {100*r_t:5.1f}%",
-              flush=True)
+        (n_s, r_s), (n_t, r_t), (n_h, r_h) = run_pair(s)
+        print(f"{s:6.0f} | {n_s:7d} {100*r_s:5.1f}% | {n_t:11d} {100*r_t:5.1f}%"
+              f" | {n_h:8d} {100*r_h:5.1f}%", flush=True)
 
 
 if __name__ == "__main__":
