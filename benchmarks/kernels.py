@@ -170,6 +170,23 @@ def main():
                   f"{2 * N * N * 4 / 1e6:.0f} MB extra HBM traffic")
     roofline("matcher(xla)", t_xla, match_flops, match_bytes + 2 * N * N * 4)
 
+    # bf16-multiplicand variant (f32 accumulate): 4x the f32 MXU issue rate
+    # on v5e. Report both the speed AND the match-set agreement vs the f32
+    # kernel so the parity cost of enabling it is a measured number, not a
+    # guess (RootSIFT descriptors in [0,1] -> ~0.4% relative cross-term
+    # rounding; flips only near-exact ratio ties).
+    from sfmfromscratch_tpu.ops.pallas.match_kernel import match_top2_fused
+
+    t_bf = timeit(lambda: match_top2_fused(d1, d2, m, bf16=on_tpu)[2], reps)
+    idx_f32 = np.asarray(match_top2_fused(d1, d2, m)[2])
+    idx_bf16 = np.asarray(match_top2_fused(d1, d2, m, bf16=on_tpu)[2])
+    agree = float((idx_f32 == idx_bf16).mean())
+    print(f"matcher bf16: {t_bf*1e3:.2f} ms; nearest-index agreement vs f32 "
+          f"{100*agree:.2f}%", flush=True)
+    roofline("matcher(pallas,bf16)", t_bf, match_flops, match_bytes,
+             note=f"bf16 multiplicands, f32 accumulate; {100*agree:.2f}% "
+                  "nearest-index agreement with the f32 kernel")
+
     # SIFT descriptors: 2500 keypoints on 360x480
     x = jnp.asarray(rng.integers(20, 460, KP), jnp.int32)
     y = jnp.asarray(rng.integers(20, 340, KP), jnp.int32)

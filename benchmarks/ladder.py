@@ -32,6 +32,24 @@ def _scene(num_views, num_points, orbit_step_deg, hw=(360, 480)):
     return d, K, poses
 
 
+def _scene_planes(num_views, orbit_step_deg, hw=(240, 320)):
+    """Perspective-correct fixture for keyframed runs: auto keyframing lands
+    ~8-10 deg keyframe spacing, past the sprite renderer's ~8 deg matching
+    limit (its patches don't warp) — the sprite config-5 collapses to a
+    1-track graph regardless of engine quality. The documented config-5
+    headline (docs/PERFORMANCE.md) uses this renderer."""
+    from tests.render import render_planes, write_sequence
+
+    rng = np.random.default_rng(7)
+    images, K, poses, _ = render_planes(
+        rng, num_views=num_views, img_hw=hw, f=400.0,
+        orbit_step_deg=orbit_step_deg,
+    )
+    d = tempfile.mkdtemp(prefix=f"ladder_{num_views}p_")
+    write_sequence(d, images)
+    return d, K, poses
+
+
 def _cfg(kp):
     from sfmfromscratch_tpu.config import (
         BundleAdjustConfig, ExtractorConfig, MatcherConfig, PipelineConfig,
@@ -84,10 +102,13 @@ def run_incremental(num_views, kp, step_deg, label):
           flush=True)
 
 
-def run_global(num_views, kp, step_deg, label, **kw):
+def run_global(num_views, kp, step_deg, label, planes=False, **kw):
     from sfmfromscratch_tpu.pipeline.global_sfm import GlobalSfmEngine
 
-    d, K, poses = _scene(num_views, 300, step_deg)
+    if planes:
+        d, K, poses = _scene_planes(num_views, step_deg)
+    else:
+        d, K, poses = _scene(num_views, 300, step_deg)
     cfg = _cfg(kp)
     t0 = time.time()
     eng = GlobalSfmEngine(d, num_views, config=cfg, single_K=K,
@@ -111,7 +132,7 @@ def main():
     run_incremental(100, 600, 0.5, "config 4 (100 views, 600 kp, chain)")
     if "--config5" in sys.argv:
         run_global(1000, 400, 0.36, "config 5 (1000-view dense orbit, keyframed)",
-                   keyframe_step="auto")
+                   planes=True, keyframe_step="auto")
 
 
 if __name__ == "__main__":

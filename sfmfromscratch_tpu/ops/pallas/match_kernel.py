@@ -14,17 +14,24 @@ matrix + lax.top_k) — the TP-style blocked-matmul matcher the north star names
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TM = 256   # query tile rows
-_TN = 512   # database tile columns
+# Tile sizes (env-overridable for sweeps). TN=2048 measured best on the
+# BATCHED pair grid — the config-4/5 shape — where grid-step pipelining
+# overlaps the VPU top-2 merge with the next tile's matmul: 39.8 TFLOP/s =
+# 20.2% MXU at B=8 x 2499^2 x 128 on v5e (TN=512: 14.1%). Solo-pair timings
+# are tunnel-noise-bound (0.14-0.30 ms) and insensitive to TN beyond noise.
+_TM = int(os.environ.get("SFM_MATCH_TM", "256"))    # query tile rows
+_TN = int(os.environ.get("SFM_MATCH_TN", "2048"))   # database tile columns
 
 
-def _match_kernel(d1_ref, d2_ref, n2sq_ref, dist1_ref, dist2_ref, idx_ref):
+def _match_kernel(d1_ref, d2_ref, n2sq_ref, dist1_ref, dist2_ref, idx_ref,
+                  *, bf16: bool = False):
     # Refs carry a leading batch dim of 1 (the grid's batch axis selects the
     # pair; the same kernel serves the single-pair and batched entry points).
     TM = d1_ref.shape[1]
@@ -33,12 +40,16 @@ def _match_kernel(d1_ref, d2_ref, n2sq_ref, dist1_ref, dist2_ref, idx_ref):
     num_tiles = pl.cdiv(n2, TN)
 
     d1 = d1_ref[0]                     # (TM, D)
+    if bf16:
+        d1 = d1.astype(jnp.bfloat16)
     big = jnp.float32(1e30)
 
     def body(t, carry):
         b1, i1, b2 = carry
         start = t * TN
         d2_tile = d2_ref[0, pl.ds(start, TN), :]       # (TN, D)
+        if bf16:
+            d2_tile = d2_tile.astype(jnp.bfloat16)
         n2sq = n2sq_ref[0, 0, pl.ds(start, TN)]        # (TN,)
         cross = jax.lax.dot_general(
             d1, d2_tile,
@@ -73,7 +84,7 @@ def _match_kernel(d1_ref, d2_ref, n2sq_ref, dist1_ref, dist2_ref, idx_ref):
     idx_ref[0, :, 0] = i1
 
 
-def _match_top2_batched(d1, d2, n2sq, interpret: bool):
+def _match_top2_batched(d1, d2, n2sq, interpret: bool, bf16: bool = False):
     """Natively batched grid: d1 (B, n1, D), d2 (B, n2, D), n2sq (B, 1, n2)
     -> (B, n1) dist1/dist2 (relative, ||a||^2 not yet added) + idx."""
     B, n1, D = d1.shape
@@ -82,7 +93,7 @@ def _match_top2_batched(d1, d2, n2sq, interpret: bool):
     grid = (B, pl.cdiv(n1, TM))
 
     dist1, dist2, idx = pl.pallas_call(
-        _match_kernel,
+        functools.partial(_match_kernel, bf16=bf16),
         grid=grid,
         out_shape=(
             jax.ShapeDtypeStruct((B, n1, 1), jnp.float32),
@@ -104,8 +115,9 @@ def _match_top2_batched(d1, d2, n2sq, interpret: bool):
     return dist1[..., 0], dist2[..., 0], idx[..., 0]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def match_top2_fused(d1: jax.Array, d2: jax.Array, mask2=None, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "bf16"))
+def match_top2_fused(d1: jax.Array, d2: jax.Array, mask2=None,
+                     interpret: bool = False, bf16: bool = False):
     """(dist1, dist2, idx): per-query nearest and second-nearest squared
     distances (actual, including the ||a||^2 term) and the nearest index.
 
@@ -114,6 +126,12 @@ def match_top2_fused(d1: jax.Array, d2: jax.Array, mask2=None, interpret: bool =
     ``jax.vmap`` over this function dispatches to the natively-batched grid
     (custom_vmap rule) — the batched matcher (ops/matcher.match_pairs_batch)
     rides it with no (B, n1, n2) HBM distance tensor.
+
+    ``bf16=True`` runs the cross-term matmul with bfloat16 multiplicands
+    (float32 accumulation): ~4x the MXU rate on v5e. RootSIFT descriptors
+    live in [0, 1] so the rounding is ~0.4% relative on the cross term —
+    measure match-set agreement before enabling in a parity-critical path
+    (benchmarks/kernels.py reports both rows).
     """
     n1sq = jnp.sum(d1 * d1, axis=-1)
     n2sq = jnp.sum(d2 * d2, axis=-1)
@@ -123,7 +141,7 @@ def match_top2_fused(d1: jax.Array, d2: jax.Array, mask2=None, interpret: bool =
     @jax.custom_batching.custom_vmap
     def core(d1, d2, n2sq):
         r1, r2, idx = _match_top2_batched(
-            d1[None], d2[None], n2sq[None, None, :], interpret
+            d1[None], d2[None], n2sq[None, None, :], interpret, bf16
         )
         return r1[0], r2[0], idx[0]
 
@@ -135,7 +153,7 @@ def match_top2_fused(d1: jax.Array, d2: jax.Array, mask2=None, interpret: bool =
         d1b = bcast(d1b, in_batched[0])
         d2b = bcast(d2b, in_batched[1])
         n2sqb = bcast(n2sqb, in_batched[2])
-        out = _match_top2_batched(d1b, d2b, n2sqb[:, None, :], interpret)
+        out = _match_top2_batched(d1b, d2b, n2sqb[:, None, :], interpret, bf16)
         return out, (True, True, True)
 
     dist1, dist2, idx = core(d1, d2, n2sq)

@@ -42,6 +42,19 @@ def test_match_kernel_top2(rng):
     np.testing.assert_array_equal(np.asarray(idx), np.argmin(sq, axis=1))
 
 
+def test_match_kernel_bf16_agreement(rng):
+    """bf16-multiplicand mode: nearest indices overwhelmingly agree with the
+    f32 kernel on RootSIFT-like [0,1] descriptors (flips only at near-exact
+    ties); distances within bf16 rounding of the cross term."""
+    d1 = jnp.asarray(rng.uniform(0, 1, (300, 128)), jnp.float32)
+    d2 = jnp.asarray(rng.uniform(0, 1, (451, 128)), jnp.float32)
+    s1f, s2f, idxf = match_top2_fused(d1, d2, interpret=True)
+    s1b, s2b, idxb = match_top2_fused(d1, d2, interpret=True, bf16=True)
+    assert float((np.asarray(idxf) == np.asarray(idxb)).mean()) > 0.97
+    np.testing.assert_allclose(np.asarray(s1b), np.asarray(s1f),
+                               atol=0.35, rtol=0.05)
+
+
 def test_match_kernel_masked(rng):
     d1 = jnp.asarray(rng.uniform(0, 1, (64, 128)), jnp.float32)
     d2 = jnp.asarray(rng.uniform(0, 1, (96, 128)), jnp.float32)
