@@ -84,6 +84,14 @@ def main(argv=None) -> int:
     rec.add_argument("--keyframe-flow-px", type=float, default=None,
                      help="flow target for --keyframe-step auto (default 5%% "
                           "of the image diagonal)")
+    rec.add_argument("--stream-ba-window", type=int, default=None,
+                     help="global pipeline: run the final BA out-of-core "
+                          "through the advancing-window block store "
+                          "(pipeline/streaming.py) with this many resident "
+                          "blocks; host map memory stays bounded by the "
+                          "window")
+    rec.add_argument("--stream-ba-block-cams", type=int, default=32,
+                     help="cameras per map block for --stream-ba-window")
     _add_extractor_flags(rec)
 
     show = sub.add_parser("show", help="load a saved model and open the 3-D viewer")
@@ -179,6 +187,8 @@ def main(argv=None) -> int:
                 keyframe_step=kf if kf == "auto" else int(kf),
                 keyframe_flow_px=args.keyframe_flow_px,
                 refine_focal=args.refine_focal,
+                stream_ba_window=args.stream_ba_window,
+                stream_ba_block_cams=args.stream_ba_block_cams,
             )
     else:
         with prof:

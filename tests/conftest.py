@@ -31,6 +31,28 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _xla_map_guard():
+    """Keep the process under the kernel's vm.max_map_count (65530 default).
+
+    Every XLA:CPU compiled executable holds ~18 memory mappings; a full-suite
+    run accumulates ~65k maps and the NEXT compile's mmap failure surfaces as
+    a SIGSEGV inside LLVM (measured: maps=65093 at the crash, bisected via
+    /proc/<pid>/maps polling — the crash test itself is innocent, it is just
+    whoever compiles first past the ceiling). jax.clear_caches() releases the
+    executables (5731 -> 505 maps in a 300-program probe), so drop the caches
+    whenever the count nears the limit; compile reuse is preserved the rest
+    of the time."""
+    yield
+    try:
+        with open(f"/proc/{os.getpid()}/maps") as f:
+            n = sum(1 for _ in f)
+    except OSError:
+        return
+    if n > 40_000:
+        jax.clear_caches()
+
+
 @pytest.fixture()
 def rng():
     # Function-scoped: every test sees the same fresh stream regardless of

@@ -75,6 +75,33 @@ match_sets_equal = {tuple(r) for r in np.asarray(got.indices)[:n_got]} == {
     tuple(r) for r in np.asarray(refm.indices)[:n_ref]
 }
 
+# Advancing-window map streaming across the process boundary (SURVEY §5.7):
+# each "host" holds its own (here: identical, SPMD-built) block store on
+# local disk; every window's solve is the SAME psum-reduced sharded BA whose
+# collectives just crossed processes above. On a pod this is exactly the
+# deployment shape — blocks host-local, solves mesh-global.
+import shutil
+import tempfile
+
+from sfmfromscratch_tpu.pipeline.streaming import (
+    MapBlockStore, stream_bundle_adjust,
+)
+from tests.test_streaming import _synthetic_map
+
+rng3 = np.random.default_rng(5)
+smap, _ = _synthetic_map(rng3, C=48, track_len=10, perturb=0.008)
+sroot = tempfile.mkdtemp(prefix=f"mp_stream_{pid}_")
+try:
+    store = MapBlockStore.build_from_arrays(
+        sroot, smap["cam_params"], smap["K"], smap["points"],
+        smap["obs_cam"], smap["obs_pt"], smap["obs_xy"], block_cams=8,
+    )
+    sstats = stream_bundle_adjust(store, window_blocks=3, mesh=mesh,
+                                  sweeps=2, max_iters=10, cg_iters=30,
+                                  ftol=1e-6)
+finally:
+    shutil.rmtree(sroot, ignore_errors=True)
+
 verdict = {
     "processes": jax.process_count(),
     "global_devices": len(jax.devices()),
@@ -85,6 +112,10 @@ verdict = {
     "cam_maxdiff": float(
         np.abs(np.asarray(res.cam_params) - np.asarray(ref.cam_params)).max()
     ),
+    "stream_err0": sstats.initial_error,
+    "stream_err1": sstats.final_error,
+    "stream_windows": sstats.windows_run,
+    "stream_resident_frac": sstats.peak_resident_obs / max(sstats.total_obs, 1),
 }
 if pid == 0:
     with open(outfile, "w") as f:

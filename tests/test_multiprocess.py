@@ -63,6 +63,11 @@ def test_multi_process_distributed_ba(tmp_path, nproc, devs_per_proc):
     assert v["err1_sharded"] < 0.5
     assert abs(v["err1_sharded"] - v["err1_single"]) < 0.05
     assert v["cam_maxdiff"] < 5e-3
+    # Advancing-window streaming BA across the process boundary (SURVEY §5.7):
+    # converges to the noise floor with a bounded resident window.
+    assert v["stream_err1"] < min(0.6, v["stream_err0"])
+    assert v["stream_windows"] >= 2
+    assert v["stream_resident_frac"] < 0.85
 
 
 def test_host_sharded_match_graph(tmp_path):
