@@ -570,7 +570,15 @@ class SfmEngine:
                         stacked, NamedSharding(self.mesh, P("data", None, None))
                     )
                 chunks.append(
-                    extract_features_batch(stacked, self.config.extractor)
+                    extract_features_batch(
+                        stacked, self.config.extractor,
+                        # lax.map beats vmap 1.75x on one chip; vmap only
+                        # when the batch axis is sharded (see frontend.py).
+                        serial=not (
+                            self.mesh is not None
+                            and "data" in self.mesh.shape
+                        ),
+                    )
                 )
                 start += n
             # Combine chunks + drop bucket-padding rows as ONE jitted program
