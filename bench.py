@@ -93,7 +93,13 @@ def engine_config():
         RansacConfig,
     )
 
-    # Reference demo parameters (main.py:19-30).
+    # Reference demo parameters (main.py:19-30). BA ftol: the reference's
+    # 1e-2 (SFM.py:427) leaves a wide stopping basin whose exact landing
+    # point wobbles ~0.5-1.3% ATE under any numerics change (measured
+    # frontier, docs/PERFORMANCE.md); 1e-3 pins the bench scene at ATE
+    # ~0.5% for ~0.3 s more BA — the accuracy end of the documented
+    # speed/accuracy frontier (ftol=1e-2 runs the same scene at ~20
+    # frames/s).
     return PipelineConfig(
         extractor=ExtractorConfig(
             num_interest_points=2500, ksize=3, gaussian_size=7, sigma=6.0,
@@ -101,7 +107,7 @@ def engine_config():
         ),
         matcher=MatcherConfig(ratio_threshold=0.85, max_matches=2500),
         ransac=RansacConfig(),   # -> 5,967 hypotheses
-        ba=BundleAdjustConfig(),
+        ba=BundleAdjustConfig(ftol=1e-3),
         scale_factor=1.0,
     )
 

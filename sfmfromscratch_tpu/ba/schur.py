@@ -27,6 +27,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from sfmfromscratch_tpu.ops.smallsvd import inv3
+
 
 class SchurOperands(NamedTuple):
     U: jax.Array        # (C, 6, 6) damped camera blocks
@@ -66,7 +68,7 @@ def build_normal_blocks(
     dV = jnp.diagonal(V, axis1=-2, axis2=-1)
     V = V + jnp.eye(3, dtype=V.dtype) * (lam * dV + eps)[..., None, :]
 
-    Vinv = jnp.linalg.inv(V)
+    Vinv = inv3(V)  # closed-form: LAPACK LU costs ~2 ms/iter at P~2500
     return SchurOperands(U=U, Vinv=Vinv, W=W, gc=gc, gp=gp,
                          obs_cam=obs_cam, obs_pt=obs_pt)
 

@@ -75,6 +75,7 @@ def bundle_adjust_selfcal(
 
     def lm_step(state):
         cam, pts, s, lam, cost, it, done, eta = state
+        eta_used = eta
         p_s = _scaled(problem, s)
         Jc, Jp, r = jacobian_blocks(p_s, cam, pts)
         # d r / d s analytically: r = w (proj - obs); d proj / d s =
@@ -147,7 +148,8 @@ def bundle_adjust_selfcal(
         s = jnp.where(improved, s_new, s)
         lam = jnp.where(improved, lam * damping_down, lam * damping_up)
         rel = (cost - new_cost) / jnp.maximum(cost, 1e-20)
-        done = done | (improved & (rel < ftol))
+        # mirror of ba/lm.py: only a tightly-solved step may declare done
+        done = done | (improved & (rel < ftol) & (eta_used <= 2e-3))
         cost = jnp.where(improved, new_cost, cost)
         # Eisenstat-Walker forcing — MUST mirror ba/lm.py:lm_step exactly so
         # the sharded selfcal branch (parallel/sharded_ba.py) stays on the

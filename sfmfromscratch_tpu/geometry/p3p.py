@@ -32,6 +32,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from sfmfromscratch_tpu.ops.smallsvd import inv3
+
 _EPS = 1e-12
 
 
@@ -151,20 +153,53 @@ def quartic_roots(coeffs: jax.Array) -> Tuple[jax.Array, jax.Array]:
 def _kabsch(Xw: jax.Array, Yc: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Batched absolute orientation: R, t with Yc_i ~= R Xw_i + t.
 
-    ``Xw``/``Yc``: (..., 3, 3) — 3 points, rows. 3x3 SVD is cheap at any batch.
-    """
+    ``Xw``/``Yc``: (..., 3, 3) — 3 points, rows. The rotation is the polar
+    factor of the 3x3 correlation H, computed by the Newton polar iteration
+    X <- (X + X^-T)/2 with closed-form 3x3 inverses — pure batched arithmetic.
+    jnp.linalg.svd on a (512, 4, 3, 3) batch costs 14 ms on v5e (iterative
+    QDWH inside a tiny-matrix loop); eight Newton steps cost well under 1 ms
+    and converge quadratically to float32 orthogonality for the
+    well-conditioned triangle correlations P3P produces. Mirror cases
+    (det H < 0 — degenerate samples the SVD path "rescued" with an axis
+    flip into a junk pose) now return a det=-1 factor whose pose scores
+    zero inliers downstream, which is equivalent in effect."""
     Xm = jnp.mean(Xw, axis=-2, keepdims=True)
     Ym = jnp.mean(Yc, axis=-2, keepdims=True)
-    H = jnp.swapaxes(Xw - Xm, -1, -2) @ (Yc - Ym)   # (..., 3, 3)
-    U, _, Vt = jnp.linalg.svd(H)
-    VU = jnp.swapaxes(Vt, -1, -2) @ jnp.swapaxes(U, -1, -2)
-    d = jnp.sign(jnp.linalg.det(VU))
-    d = jnp.where(d == 0, 1.0, d)
-    D = jnp.concatenate(
-        [jnp.ones_like(d)[..., None], jnp.ones_like(d)[..., None], d[..., None]],
-        axis=-1,
-    )
-    R = (jnp.swapaxes(Vt, -1, -2) * D[..., None, :]) @ jnp.swapaxes(U, -1, -2)
+    Xc = Xw - Xm
+    Yc_c = Yc - Ym
+    H = jnp.swapaxes(Xc, -1, -2) @ Yc_c             # (..., 3, 3) rank <= 2!
+    # THREE centered points span a plane, so H is always rank-2 — polar
+    # iteration needs full rank. Complete it with the triangle-NORMAL
+    # correlation: a proper rotation maps cross products to cross products,
+    # so adding ||H||*outer(nx_hat, ny_hat) fills the null direction with the
+    # same rotation's action (and pins det(H') > 0 for consistent triangles,
+    # so the polar factor IS the proper Kabsch rotation).
+    nx = jnp.cross(Xc[..., 1, :] - Xc[..., 0, :], Xc[..., 2, :] - Xc[..., 0, :])
+    ny = jnp.cross(Yc_c[..., 1, :] - Yc_c[..., 0, :],
+                   Yc_c[..., 2, :] - Yc_c[..., 0, :])
+    nx = nx / jnp.maximum(jnp.linalg.norm(nx, axis=-1, keepdims=True), 1e-30)
+    ny = ny / jnp.maximum(jnp.linalg.norm(ny, axis=-1, keepdims=True), 1e-30)
+    nrm = jnp.linalg.norm(H, axis=(-2, -1), keepdims=True)
+    H = H + nrm * nx[..., :, None] * ny[..., None, :]
+    # Newton polar iteration with DETERMINANT SCALING (Higham): the optimal
+    # per-step scale gamma = |det X|^(-1/3) makes convergence effectively
+    # condition-independent (plain Newton needs ~log2(cond) linear steps
+    # first; with scaling, 6-8 steps reach f32 orthogonality even at
+    # cond ~ 1e6). Degenerate/collinear samples yield non-finite or det<0
+    # results, gated by the caller.
+    def det3(M):
+        return (
+            M[..., 0, 0] * (M[..., 1, 1] * M[..., 2, 2] - M[..., 1, 2] * M[..., 2, 1])
+            - M[..., 0, 1] * (M[..., 1, 0] * M[..., 2, 2] - M[..., 1, 2] * M[..., 2, 0])
+            + M[..., 0, 2] * (M[..., 1, 0] * M[..., 2, 1] - M[..., 1, 1] * M[..., 2, 0])
+        )
+
+    X = H / jnp.maximum(nrm, 1e-30)
+    for _ in range(8):
+        gam = jnp.cbrt(jnp.maximum(jnp.abs(det3(X)), 1e-30))[..., None, None]
+        X = 0.5 * (X / gam + gam * jnp.swapaxes(inv3(X), -1, -2))
+    Q = X                                            # ~ U V^T (polar factor)
+    R = jnp.swapaxes(Q, -1, -2)                      # V U^T
     t = Ym[..., 0, :] - jnp.einsum("...ij,...j->...i", R, Xm[..., 0, :])
     return R, t
 
@@ -304,7 +339,8 @@ def p3p_poses(
         # Damped solve guards singular Jacobians on degenerate samples.
         JtJ = jnp.swapaxes(J, -1, -2) @ J + 1e-9 * jnp.eye(3, dtype=s.dtype)
         g = jnp.einsum("...ji,...j->...i", J, r)
-        ds = jnp.linalg.solve(JtJ, g[..., None])[..., 0]
+        # closed-form damped 3x3 solve — batched LU costs ~ms at this batch
+        ds = jnp.einsum("...ij,...j->...i", inv3(JtJ), g)
         return s - ds, None
 
     s, _ = jax.lax.scan(_polish, s, None, length=3)
@@ -327,4 +363,20 @@ def p3p_poses(
     Xw = jnp.broadcast_to(Xs[..., None, :, :], Yc.shape)
     R, t = _kabsch(Xw, Yc)
     valid = valid & jnp.all(jnp.isfinite(t), axis=-1)
+    # The polar iteration can fail to converge on ill-conditioned (near
+    # -collinear) samples, leaving a non-orthogonal factor that is NOT a
+    # rotation — such a matrix can overfit RANSAC support with a bogus pose
+    # (observed: a degraded-imaging scene's chain ATE blew 5% -> 21% before
+    # this gate). Require orthogonality to float32 tolerance, and reject
+    # mirror (det -1) factors from degenerate samples.
+    RtR = jnp.einsum("...ji,...jk->...ik", R, R)
+    orth_err = jnp.max(
+        jnp.abs(RtR - jnp.eye(3, dtype=R.dtype)), axis=(-2, -1)
+    )
+    det3R = (
+        R[..., 0, 0] * (R[..., 1, 1] * R[..., 2, 2] - R[..., 1, 2] * R[..., 2, 1])
+        - R[..., 0, 1] * (R[..., 1, 0] * R[..., 2, 2] - R[..., 1, 2] * R[..., 2, 0])
+        + R[..., 0, 2] * (R[..., 1, 0] * R[..., 2, 1] - R[..., 1, 1] * R[..., 2, 0])
+    )
+    valid = valid & (orth_err < 1e-3) & (det3R > 0)
     return R, t, valid

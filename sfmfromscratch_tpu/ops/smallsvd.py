@@ -95,3 +95,28 @@ def decompose_essential(E: jax.Array):
     R2 = R2 * jnp.sign(d2)[..., None, None]
     t = U[..., :, 2]
     return R1, R2, t
+
+
+def inv3(M):
+    """Closed-form batched 3x3 inverse (adjugate / det): pure elementwise
+    arithmetic. Batched LAPACK-style LU (jnp.linalg.solve/inv) costs ~1.8 ms
+    for 2500 3x3 systems on v5e; this is effectively free. Guard: |det|
+    floored at 1e-30 (callers damp their systems or gate non-finite
+    results)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]

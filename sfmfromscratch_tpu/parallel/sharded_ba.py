@@ -20,6 +20,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from sfmfromscratch_tpu.ops.smallsvd import inv3
+
 from sfmfromscratch_tpu.utils.precision import mm_f32
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -165,6 +167,7 @@ def _sharded_lm_fn(
 
         def lm_step(state):
             cam, pts, s, lam, cost, it, done, eta = state
+            eta_used = eta
             local = scaled(s)
             Jc, Jp, r = jacobian_blocks(local, cam, pts)
             if selfcal:
@@ -197,7 +200,7 @@ def _sharded_lm_fn(
             U = U + jnp.eye(6, dtype=U.dtype) * (lam * dU + eps)[..., None, :]
             dV = jnp.diagonal(V, axis1=-2, axis2=-1)
             V = V + jnp.eye(3, dtype=V.dtype) * (lam * dV + eps)[..., None, :]
-            Vinv = jnp.linalg.inv(V)
+            Vinv = inv3(V)  # closed-form: LAPACK LU costs ~2 ms/iter at P~2500
 
             def matvec(xflat):
                 x = xflat.reshape(C, 6)
@@ -276,7 +279,8 @@ def _sharded_lm_fn(
             s = jnp.where(improved, s_new, s)
             lam = jnp.where(improved, lam * damping_down, lam * damping_up)
             rel = (cost - new_cost) / jnp.maximum(cost, 1e-20)
-            done = done | (improved & (rel < ftol))
+            # mirror of ba/lm.py: only a tightly-solved step may declare done
+            done = done | (improved & (rel < ftol) & (eta_used <= 2e-3))
             cost = jnp.where(improved, new_cost, cost)
             # Eisenstat-Walker forcing — MUST mirror ba/lm.py:lm_step exactly,
             # or the sharded and single-device solvers take different LM
