@@ -27,7 +27,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from sfmfromscratch_tpu.ops.smallsvd import inv3
+from sfmfromscratch_tpu.ops.smallsvd import inv3_spd
+
 
 
 class SchurOperands(NamedTuple):
@@ -68,7 +69,7 @@ def build_normal_blocks(
     dV = jnp.diagonal(V, axis1=-2, axis2=-1)
     V = V + jnp.eye(3, dtype=V.dtype) * (lam * dV + eps)[..., None, :]
 
-    Vinv = inv3(V)  # closed-form: LAPACK LU costs ~2 ms/iter at P~2500
+    Vinv = inv3_spd(V)  # SPD Cholesky inverse: stable closed form, no LAPACK
     return SchurOperands(U=U, Vinv=Vinv, W=W, gc=gc, gp=gp,
                          obs_cam=obs_cam, obs_pt=obs_pt)
 

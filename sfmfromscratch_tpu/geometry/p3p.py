@@ -195,7 +195,7 @@ def _kabsch(Xw: jax.Array, Yc: jax.Array) -> Tuple[jax.Array, jax.Array]:
         )
 
     X = H / jnp.maximum(nrm, 1e-30)
-    for _ in range(8):
+    for _ in range(12):
         gam = jnp.cbrt(jnp.maximum(jnp.abs(det3(X)), 1e-30))[..., None, None]
         X = 0.5 * (X / gam + gam * jnp.swapaxes(inv3(X), -1, -2))
     Q = X                                            # ~ U V^T (polar factor)
@@ -378,5 +378,5 @@ def p3p_poses(
         - R[..., 0, 1] * (R[..., 1, 0] * R[..., 2, 2] - R[..., 1, 2] * R[..., 2, 0])
         + R[..., 0, 2] * (R[..., 1, 0] * R[..., 2, 1] - R[..., 1, 1] * R[..., 2, 0])
     )
-    valid = valid & (orth_err < 1e-3) & (det3R > 0)
+    valid = valid & (orth_err < 2e-4) & (det3R > 0)
     return R, t, valid

@@ -4,8 +4,8 @@ Replaces the reference's per-point Python loops with single-SVD-per-point host
 calls (SFM.py:238-305) and its scipy Levenberg-Marquardt point refinement
 (SFM.py:255-289) with:
 
-* one closed-form batched null-vector solve for all points at once
-  (``triangulate_dlt``: 4-D cross seed + Cramer Rayleigh-quotient steps),
+* one batched SVD null-vector solve for all points at once
+  (``triangulate_dlt``),
 * a fixed-iteration Gauss-Newton refinement with analytic 3x3 normal equations
   solved in closed form (``refine_points_gn``) — jit-compatible, vmapped over
   points, no host round trips,
@@ -21,25 +21,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from sfmfromscratch_tpu.ops.smallsvd import inv3
+from sfmfromscratch_tpu.ops.smallsvd import nullvec_lstsq
 from sfmfromscratch_tpu.geometry.epipolar import hartley_normalize
-
-
-def _cross4(a: jax.Array, b: jax.Array, c: jax.Array) -> jax.Array:
-    """4-D generalized cross product: the vector orthogonal to three (..., 4)
-    rows, components = signed 3x3 minors. Pure batched arithmetic."""
-
-    def det3(c0, c1, c2):
-        return (
-            a[..., c0] * (b[..., c1] * c[..., c2] - b[..., c2] * c[..., c1])
-            - a[..., c1] * (b[..., c0] * c[..., c2] - b[..., c2] * c[..., c0])
-            + a[..., c2] * (b[..., c0] * c[..., c1] - b[..., c1] * c[..., c0])
-        )
-
-    return jnp.stack(
-        [det3(1, 2, 3), -det3(0, 2, 3), det3(0, 1, 3), -det3(0, 1, 2)],
-        axis=-1,
-    )
 
 
 def triangulate_dlt(p1: jax.Array, p2: jax.Array, P1: jax.Array, P2: jax.Array) -> jax.Array:
@@ -49,16 +32,13 @@ def triangulate_dlt(p1: jax.Array, p2: jax.Array, P1: jax.Array, P2: jax.Array) 
     Returns (..., N, 3) Euclidean points (reference: one SVD per point,
     SFM.py:238-253).
 
-    At rank 3 the 4x4 DLT system's null vector is the 4-D cross product of
-    three independent rows — closed form, no factorization. With noise the
-    system is rank 4 and the answer is the SMALLEST singular vector; two
-    shifted inverse-power iterations on A^T A, seeded by the (sign-aligned,
-    branch-free) sum of the two natural row-triple crosses, converge to it.
-    A batched (2500, 4, 4) QDWH-SVD costs ~10 ms on v5e; this costs a couple
-    of batched 4x4 solves. Rows are norm-balanced first (row scaling never
-    changes the null space). Low-parallax points degrade exactly as the
-    SVD's trailing vector does, and the reconstruction paths polish with
-    reprojection Gauss-Newton + cheirality gates (refine_points_gn) after.
+    The null vector comes from the direct batched SVD (``nullvec_lstsq``).
+    A closed-form path (4-D cross seed + Cramer Rayleigh-quotient steps) was
+    tried in round 4 and REVERTED: at tiny parallax (0.8 deg/view orbit
+    steps) the two smallest singular values nearly coincide and the iteration
+    picks the wrong vector — the 47-view orbit chain went 0.5 -> 42 px
+    post-BA reproj. Eigenvector selection under near-degeneracy is the one
+    thing the SVD is load-bearing for here (docs/PERFORMANCE.md lesson 2).
     """
     x1, y1 = p1[..., 0:1], p1[..., 1:2]
     x2, y2 = p2[..., 0:1], p2[..., 1:2]
@@ -73,48 +53,7 @@ def triangulate_dlt(p1: jax.Array, p2: jax.Array, P1: jax.Array, P2: jax.Array) 
         ],
         axis=-2,
     )  # (..., N, 4, 4)
-    # Uniform scaling only (it preserves the least-squares null vector
-    # EXACTLY — unlike per-row normalization, which reweights the four
-    # equations and measurably degrades noisy scenes: a degraded-imaging
-    # chain went ATE 6% -> 21% with row-normalized DLT).
-    scale = jnp.maximum(
-        jnp.max(jnp.abs(rows), axis=(-2, -1), keepdims=True), 1e-30
-    )
-    rows = rows / scale
-    r1, r2, r3, r4 = (rows[..., i, :] for i in range(4))
-    xa = _cross4(r1, r2, r3)
-    xb = _cross4(r1, r2, r4)
-    # Branch-free seed: sign-align and sum; the Rayleigh-quotient steps below
-    # pull any reasonable seed to the least-squares null vector.
-    sgn = jnp.sign(jnp.sum(xa * xb, axis=-1, keepdims=True))
-    sgn = jnp.where(sgn == 0, 1.0, sgn)
-    X = xa + sgn * xb
-    X = X / jnp.maximum(jnp.linalg.norm(X, axis=-1, keepdims=True), 1e-30)
-    AtA = jnp.einsum("...mi,...mj->...ij", rows, rows)
-
-    # Rayleigh-quotient iteration WITHOUT a factorization: Cramer numerators
-    # give a vector proportional to (M - sigma I)^-1 x (dot(a, _cross4(b, c,
-    # d)) IS the 4x4 determinant of rows [a,b,c,d]); the adjugate-apply stays
-    # finite in the singular limit — as sigma approaches the eigenvalue the
-    # adjugate collapses onto exactly the eigenvector wanted. Replaces a
-    # batched (2500, 4, 4) QDWH-SVD that costs ~10 ms on v5e.
-    def mshift_inv_dir(sig, x):
-        Ms = AtA - sig[..., None, None] * jnp.eye(4, dtype=rows.dtype)
-        m0, m1, m2, m3 = (Ms[..., i, :] for i in range(4))
-        return jnp.stack(
-            [
-                jnp.sum(x * _cross4(m1, m2, m3), axis=-1),
-                jnp.sum(m0 * _cross4(x, m2, m3), axis=-1),
-                jnp.sum(m0 * _cross4(m1, x, m3), axis=-1),
-                jnp.sum(m0 * _cross4(m1, m2, x), axis=-1),
-            ],
-            axis=-1,
-        )
-
-    for _ in range(3):
-        sigma = jnp.einsum("...i,...ij,...j->...", X, AtA, X)
-        X = mshift_inv_dir(sigma, X)
-        X = X / jnp.maximum(jnp.linalg.norm(X, axis=-1, keepdims=True), 1e-30)
+    X = nullvec_lstsq(rows)  # (..., N, 4)
     w = X[..., 3:4]
     return X[..., :3] / jnp.where(jnp.abs(w) < 1e-12, jnp.where(w < 0, -1e-12, 1e-12), w)
 
@@ -184,10 +123,12 @@ def refine_points_gn(
             + eye
         )
         g = jnp.einsum("nki,nk->ni", J1, r1) + jnp.einsum("nki,nk->ni", J2, r2)
-        # Closed-form 3x3 solve (adjugate): the batched LAPACK LU costs
-        # ~1.8 ms per iteration at N=2500 on v5e — it was the whole GN loop's
-        # cost; the damped JtJ is SPD so the adjugate path is safe.
-        dx = jnp.einsum("nij,nj->ni", inv3(JtJ), g)
+        # Batched LU solve. Closed-form alternatives were measured and
+        # rejected for THIS loop: at the 0.8 deg/view low-parallax regime
+        # (cond ~1e6+ JtJ) the adjugate costs 0.5 -> 2.6 px post-BA reproj
+        # and even closed-form Cholesky costs 0.5 -> 1.6 px; the LAPACK
+        # solve is the accuracy anchor of the chain's triangulation.
+        dx = jnp.linalg.solve(JtJ, g[..., None])[..., 0]
         X_new = X - dx
         ok = (
             jnp.all(jnp.isfinite(X_new), axis=-1)
@@ -269,7 +210,12 @@ def triangulate_multiview(
             jnp.einsum("oki,ok->oi", J, r), obs_pt, num_segments=num_points
         )
         # closed-form damped 3x3 solve (see refine_points_gn)
-        dx = jnp.einsum("nij,nj->ni", inv3(JtJ), g)
+        # Batched LU solve. Closed-form alternatives were measured and
+        # rejected for THIS loop: at the 0.8 deg/view low-parallax regime
+        # (cond ~1e6+ JtJ) the adjugate costs 0.5 -> 2.6 px post-BA reproj
+        # and even closed-form Cholesky costs 0.5 -> 1.6 px; the LAPACK
+        # solve is the accuracy anchor of the chain's triangulation.
+        dx = jnp.linalg.solve(JtJ, g[..., None])[..., 0]
         X_new = X - dx
         ok = (
             jnp.all(jnp.isfinite(X_new), axis=-1)

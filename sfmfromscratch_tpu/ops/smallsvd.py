@@ -120,3 +120,75 @@ def inv3(M):
         axis=-2,
     )
     return adj / det[..., None, None]
+
+
+def chol3(M, eps: float = 0.0):
+    """Closed-form batched 3x3 Cholesky factor L (M = L L^T) — pure
+    elementwise arithmetic. For SPD matrices Cholesky needs no pivoting, so
+    unlike the adjugate path this is STABLE at any conditioning float32 can
+    represent (the adjugate inverse cost a cond~1e6 low-parallax scene 0.5 ->
+    2.6 px; Cholesky matches LAPACK there). ``eps`` adds a diagonal floor."""
+    import jax.numpy as jnp
+
+    a = M[..., 0, 0] + eps
+    l00 = jnp.sqrt(jnp.maximum(a, 1e-30))
+    l10 = M[..., 1, 0] / l00
+    l20 = M[..., 2, 0] / l00
+    l11 = jnp.sqrt(jnp.maximum(M[..., 1, 1] + eps - l10 * l10, 1e-30))
+    l21 = (M[..., 2, 1] - l20 * l10) / l11
+    l22 = jnp.sqrt(
+        jnp.maximum(M[..., 2, 2] + eps - l20 * l20 - l21 * l21, 1e-30)
+    )
+    z = jnp.zeros_like(l00)
+    return jnp.stack(
+        [
+            jnp.stack([l00, z, z], axis=-1),
+            jnp.stack([l10, l11, z], axis=-1),
+            jnp.stack([l20, l21, l22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def solve3_spd(M, g, eps: float = 0.0):
+    """Solve M x = g for batched SPD 3x3 M via closed-form Cholesky —
+    LAPACK-class accuracy, no factorization kernel (a batched LU solve costs
+    ~1.8 ms at N=2500 on v5e; this is effectively free)."""
+    L = chol3(M, eps)
+    # forward substitution L y = g
+    y0 = g[..., 0] / L[..., 0, 0]
+    y1 = (g[..., 1] - L[..., 1, 0] * y0) / L[..., 1, 1]
+    y2 = (g[..., 2] - L[..., 2, 0] * y0 - L[..., 2, 1] * y1) / L[..., 2, 2]
+    # back substitution L^T x = y
+    x2 = y2 / L[..., 2, 2]
+    x1 = (y1 - L[..., 2, 1] * x2) / L[..., 1, 1]
+    x0 = (y0 - L[..., 1, 0] * x1 - L[..., 2, 0] * x2) / L[..., 0, 0]
+    import jax.numpy as jnp
+
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
+def inv3_spd(M, eps: float = 0.0):
+    """Batched SPD 3x3 inverse via closed-form Cholesky: V^-1 = L^-T L^-1
+    with the triangular inverse written out. Stable where the adjugate
+    inverse is not (see chol3)."""
+    import jax.numpy as jnp
+
+    L = chol3(M, eps)
+    # closed-form inverse of lower-triangular L
+    i00 = 1.0 / L[..., 0, 0]
+    i11 = 1.0 / L[..., 1, 1]
+    i22 = 1.0 / L[..., 2, 2]
+    i10 = -L[..., 1, 0] * i00 * i11
+    i20 = (L[..., 1, 0] * L[..., 2, 1] - L[..., 2, 0] * L[..., 1, 1]) * i00 * i11 * i22
+    i21 = -L[..., 2, 1] * i11 * i22
+    z = jnp.zeros_like(i00)
+    Li = jnp.stack(
+        [
+            jnp.stack([i00, z, z], axis=-1),
+            jnp.stack([i10, i11, z], axis=-1),
+            jnp.stack([i20, i21, i22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return jnp.swapaxes(Li, -1, -2) @ Li

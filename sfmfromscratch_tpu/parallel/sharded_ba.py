@@ -20,7 +20,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from sfmfromscratch_tpu.ops.smallsvd import inv3
+from sfmfromscratch_tpu.ops.smallsvd import inv3_spd
+
 
 from sfmfromscratch_tpu.utils.precision import mm_f32
 import numpy as np
@@ -200,7 +201,7 @@ def _sharded_lm_fn(
             U = U + jnp.eye(6, dtype=U.dtype) * (lam * dU + eps)[..., None, :]
             dV = jnp.diagonal(V, axis1=-2, axis2=-1)
             V = V + jnp.eye(3, dtype=V.dtype) * (lam * dV + eps)[..., None, :]
-            Vinv = inv3(V)  # closed-form: LAPACK LU costs ~2 ms/iter at P~2500
+            Vinv = inv3_spd(V)  # SPD Cholesky inverse: stable closed form, no LAPACK
 
             def matvec(xflat):
                 x = xflat.reshape(C, 6)

@@ -269,3 +269,40 @@ def test_engine_mixed_image_shapes(tmp_path):
     assert eng.map.num_tracks > 30
     assert len(eng.global_poses) == 3
     assert eng.errors_before_after_ba[1] < 3.0
+
+
+def test_chain_low_parallax_orbit(tmp_path):
+    """Tiny-parallax orbit regression gate (round 4): at 0.8 deg/view the
+    DLT/P3P/GN linear algebra runs at cond ~1e6 and closed-form small-matrix
+    shortcuts that pass every generic test silently destroy this regime
+    (measured: 0.5 -> 42 px post-BA reproj from a cross-product DLT null
+    vector; 2.6 px from adjugate GN solves). This pins the BASELINE config-3
+    ladder regime into default CI at reduced scale."""
+    import numpy as np
+    from tests.render import render_sequence, write_sequence
+    from sfmfromscratch_tpu.config import (
+        BundleAdjustConfig, ExtractorConfig, MatcherConfig, PipelineConfig,
+        RansacConfig,
+    )
+    from sfmfromscratch_tpu.pipeline.incremental import SfmEngine
+
+    rng = np.random.default_rng(7)
+    images, K, poses, X = render_sequence(
+        rng, num_views=20, num_points=300, img_hw=(360, 480), f=520.0,
+        orbit_step_deg=0.8,
+    )
+    d = tmp_path / "seq"
+    d.mkdir()
+    write_sequence(str(d), images)
+    cfg = PipelineConfig(
+        extractor=ExtractorConfig(
+            num_interest_points=600, ksize=3, gaussian_size=7, sigma=3.0,
+            alpha=0.05, feature_width=16, pyramid_level=2,
+            pyramid_scale_factor=1.2,
+        ),
+        matcher=MatcherConfig(ratio_threshold=0.85, max_matches=600),
+        ransac=RansacConfig(), ba=BundleAdjustConfig(), scale_factor=1.0,
+    )
+    eng = SfmEngine(str(d), 20, config=cfg, single_K=K)
+    b, a = eng.errors_before_after_ba
+    assert a < 1.5, (b, a)
