@@ -138,8 +138,13 @@ def run_ours(num_views=10):
     # once more with per-stage sync fences (SFM_STAGE_SYNC) so the reported
     # split separates device compute from transfer; the headline fps above
     # stays the fence-free run (syncing costs extra round trips).
+    # The fences themselves carry one-time costs the async runs never pay
+    # (jit compile of each fence's slice program, per-shape transfer-channel
+    # setup — measured ~0.9 s landing inside the FIRST synced stage), so run
+    # the synced engine twice and report the steady-state second run.
     os.environ["SFM_STAGE_SYNC"] = "1"
     try:
+        SfmEngine(seq_dir, num_views, config=cfg, single_K=K)
         eng_sync = SfmEngine(seq_dir, num_views, config=cfg, single_K=K)
     finally:
         del os.environ["SFM_STAGE_SYNC"]
