@@ -1384,6 +1384,9 @@ class SfmEngine:
         from sfmfromscratch_tpu.ba.problem import pad_problem
 
         problem = pad_problem(problem)
+        sync = bool(os.environ.get("SFM_STAGE_SYNC"))
+        if sync:
+            self.stage_times[f"{stage}.assemble"] = time.time() - t0
         ba_cfg = self.config.ba
         kw = dict(
             max_iters=ba_cfg.max_lm_iters,
@@ -1429,12 +1432,22 @@ class SfmEngine:
             self.warnings.append(
                 f"focal self-calibration: cumulative scale {self.focal_scale:.4f}"
             )
+        if sync:
+            from sfmfromscratch_tpu.utils.fetch import sync_device
+
+            sync_device(res.points)
+            self.stage_times[f"{stage}.solve.compute"] = (
+                time.time() - t0 - self.stage_times[f"{stage}.assemble"]
+            )
+            t_fetch = time.time()
         # Packed result fetch: points + cameras + both error scalars in two
         # transfers instead of four round trips (utils/fetch.py).
         pts_np, cams_np, e0, e1 = device_get_packed(
             res.points[:num_pts], res.cam_params[:num_cams],
             res.initial_mean_error, res.final_mean_error,
         )
+        if sync:
+            self.stage_times[f"{stage}.fetch"] = time.time() - t_fetch
         self.errors_before_after_ba = (float(e0), float(e1))
         self.map.update_points(np.asarray(pts_np, dtype=np.float64))
         self.global_poses = [
