@@ -30,7 +30,12 @@ from sfmfromscratch_tpu.ba.problem import (
     residuals,
     total_cost,
 )
-from sfmfromscratch_tpu.ba.schur import build_normal_blocks, solve_schur
+from sfmfromscratch_tpu.ba.schur import (
+    DENSE_SCHUR_MAX_CAMS,
+    build_normal_blocks,
+    solve_schur,
+    solve_schur_dense,
+)
 
 
 def robust_cost(problem: BAProblem, cam: jax.Array, pts: jax.Array, delta: float) -> jax.Array:
@@ -82,6 +87,14 @@ def bundle_adjust(
     """
     C = problem.num_cameras
     P = problem.num_points
+    # Small camera systems solve the reduced system EXACTLY as one dense
+    # Cholesky instead of a sequential CG chain (latency-bound on TPU); the
+    # gate is static (C, env) so it cannot diverge between devices, and it
+    # MUST stay mirrored in parallel/sharded_ba.py (parity contract).
+    use_dense = (
+        C <= DENSE_SCHUR_MAX_CAMS
+        and not os.environ.get("SFM_NO_DENSE_SCHUR")
+    )
 
     def cost_fn(cam, pts):
         if huber_delta > 0:
@@ -100,7 +113,11 @@ def bundle_adjust(
         op = build_normal_blocks(
             Jc, Jp, r, problem.obs_cam, problem.obs_pt, C, P, lam
         )
-        dc, dp = solve_schur(op, cg_iters=cg_iters, tol_rel=eta)
+        if use_dense:
+            dc, dp = solve_schur_dense(op)
+            eta_used = jnp.zeros_like(eta)   # exact solve: always "tight"
+        else:
+            dc, dp = solve_schur(op, cg_iters=cg_iters, tol_rel=eta)
         dc = jnp.where(problem.cam_fixed[:, None], 0.0, dc)
         cam_new = cam - dc
         pts_new = pts - dp

@@ -152,6 +152,64 @@ def conjugate_gradient(
     return x
 
 
+def point_cam_blocks(
+    W: jax.Array, obs_cam: jax.Array, obs_pt: jax.Array,
+    num_cameras: int, num_points: int,
+) -> jax.Array:
+    """(P*C, 3, 6) per-(point, camera) sums of W^T — the observation-indexed
+    ingredient of the dense Schur complement.  Separated out so the sharded
+    solver can ``psum`` this local segment-sum before the quadratic form
+    (S is quadratic in these blocks; summing after would be wrong)."""
+    WT = jnp.swapaxes(W, -1, -2)                          # (O, 3, 6)
+    idx = obs_pt * num_cameras + obs_cam
+    return jax.ops.segment_sum(WT, idx, num_segments=num_points * num_cameras)
+
+
+def dense_schur_from_blocks(
+    U: jax.Array, Vinv: jax.Array, Bflat: jax.Array
+) -> jax.Array:
+    """Materialize S = U - W V^-1 W' as a dense (6C, 6C) matrix from the
+    per-(point, camera) blocks of :func:`point_cam_blocks`."""
+    C = U.shape[0]
+    P = Vinv.shape[0]
+    B = Bflat.reshape(P, C, 3, 6).swapaxes(1, 2).reshape(P, 3, 6 * C)
+    VB = jnp.einsum("pij,pja->pia", Vinv, B)
+    S = -jnp.einsum("pia,pib->ab", B, VB)
+    S = (
+        S.reshape(C, 6, C, 6)
+        .at[jnp.arange(C), :, jnp.arange(C), :]
+        .add(U)
+        .reshape(6 * C, 6 * C)
+    )
+    return S
+
+
+def solve_schur_dense(op: SchurOperands) -> Tuple[jax.Array, jax.Array]:
+    """Exact dense solve of the reduced camera system (small camera counts).
+
+    CG's matvec chain is *sequential* — at the eta floor the solve is up to
+    ``cg_iters`` dependent small ops, pure launch latency on TPU.  For C
+    cameras the reduced system is only (6C, 6C); materializing it costs one
+    segment-sum over observations plus two batched einsums (MXU-shaped), and
+    one Cholesky solve replaces the whole chain.  Used by ba/lm.py and
+    parallel/sharded_ba.py when C <= DENSE_SCHUR_MAX_CAMS and not selfcal;
+    both gates must stay mirrored (sharded == single-device parity)."""
+    C = op.U.shape[0]
+    P = op.Vinv.shape[0]
+    Bflat = point_cam_blocks(op.W, op.obs_cam, op.obs_pt, C, P)
+    S = dense_schur_from_blocks(op.U, op.Vinv, Bflat)
+    b = schur_rhs(op).reshape(-1)
+    cf = jax.scipy.linalg.cho_factor(S, lower=True)
+    dc = jax.scipy.linalg.cho_solve(cf, b).reshape(C, 6)
+    dp = back_substitute_points(op, dc)
+    return dc, dp
+
+
+# Dense path only below this camera count: (P*C, 3, 6) blocks stay small and
+# the (6C, 6C) factorization is cheap; above it, matrix-free PCG wins.
+DENSE_SCHUR_MAX_CAMS = 32
+
+
 def solve_schur(
     op: SchurOperands, cg_iters: int, tol_rel=0.0
 ) -> Tuple[jax.Array, jax.Array]:

@@ -35,7 +35,12 @@ from sfmfromscratch_tpu.ba.problem import (
     mean_reprojection_error,
     total_cost,
 )
-from sfmfromscratch_tpu.ba.schur import conjugate_gradient
+from sfmfromscratch_tpu.ba.schur import (
+    DENSE_SCHUR_MAX_CAMS,
+    conjugate_gradient,
+    dense_schur_from_blocks,
+    point_cam_blocks,
+)
 
 
 def pad_problem_for_sharding(problem: BAProblem, num_shards: int) -> BAProblem:
@@ -134,6 +139,15 @@ def _sharded_lm_fn(
         """Runs per-shard under shard_map; obs_* are local shards."""
         C = cam0.shape[0]
         Pn = pts0.shape[0]
+        # MUST mirror ba/lm.py's gate exactly (sharded == single-device
+        # parity): dense exact Schur for small C, matrix-free PCG otherwise.
+        import os as _os
+
+        use_dense = (
+            C <= DENSE_SCHUR_MAX_CAMS
+            and not selfcal
+            and not _os.environ.get("SFM_NO_DENSE_SCHUR")
+        )
         base = BAProblem(
             cam_params=cam0, points=pts0, K=K,
             obs_cam=obs_cam, obs_pt=obs_pt, obs_xy=obs_xy, obs_w=obs_w,
@@ -257,6 +271,18 @@ def _sharded_lm_fn(
                     jnp.abs(denom) < 1e-12, 1e-12, denom
                 )
                 dc = (u - ds * v).reshape(C, 6)
+            elif use_dense:
+                ds = jnp.asarray(0.0, pts.dtype)
+                # Local (pt, cam) block sums psum-reduced BEFORE the
+                # quadratic form (S is quadratic in them), then the same
+                # replicated dense Cholesky as ba/schur.solve_schur_dense.
+                Bflat = jax.lax.psum(
+                    point_cam_blocks(W, obs_cam, obs_pt, C, Pn), axis
+                )
+                S = dense_schur_from_blocks(U, Vinv, Bflat)
+                cf = jax.scipy.linalg.cho_factor(S, lower=True)
+                dc = jax.scipy.linalg.cho_solve(cf, b_rhs).reshape(C, 6)
+                eta_used = jnp.zeros_like(eta)   # exact solve: always "tight"
             else:
                 ds = jnp.asarray(0.0, pts.dtype)
                 dc = conjugate_gradient(
