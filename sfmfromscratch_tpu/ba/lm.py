@@ -1,59 +1,40 @@
 """Levenberg-Marquardt bundle adjustment, fully on-device.
 
 One jitted program: each LM iteration builds the damped normal-equation blocks
-from analytic Jacobians, solves the Schur-reduced camera system with
-matrix-free CG, back-substitutes the points, and accepts/rejects the step with
-adaptive damping — the TPU-native replacement for the reference's
+from analytic Jacobians, solves the Schur-reduced camera system (exact dense
+Cholesky for small camera counts, matrix-free PCG otherwise), back-substitutes
+the points, and accepts/rejects the step with adaptive damping — the
+TPU-native replacement for the reference's
 ``BundleAdjustment.sparse_bundle_adjustment`` (SFM.py:405-435: scipy trf,
 2-point numerical Jacobian, host-side Python residual loop).
 
 Termination matches the reference's spirit (ftol=1e-2 relative cost decrease,
 SFM.py:427) but as a fixed-iteration loop with an accept mask, so the program
 has static shape.
+
+The LM step itself lives in ba/lm_core.py — ONE implementation shared with
+the selfcal and observation-sharded solvers; this module only chooses the
+backend (dense gate + env overrides, resolved OUTSIDE jit so they always
+take effect) and wraps the result.
 """
 
 from __future__ import annotations
 
 import functools
 import os
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
-import jax.numpy as jnp
 
 from sfmfromscratch_tpu.utils.precision import mm_f32
 
-from sfmfromscratch_tpu.ba.problem import (
-    BAProblem,
-    jacobian_blocks,
-    mean_reprojection_error,
-    residuals,
-    total_cost,
+from sfmfromscratch_tpu.ba.lm_core import (  # noqa: F401  (re-exported API)
+    huber_weights,
+    lm_run,
+    robust_cost,
 )
-from sfmfromscratch_tpu.ba.schur import (
-    DENSE_SCHUR_MAX_CAMS,
-    build_normal_blocks,
-    solve_schur,
-    solve_schur_dense,
-)
-
-
-def robust_cost(problem: BAProblem, cam: jax.Array, pts: jax.Array, delta: float) -> jax.Array:
-    """Huber cost over per-observation residual norms (delta <= 0 => plain
-    least squares, the reference's behavior)."""
-    r = residuals(problem, cam, pts)
-    if delta <= 0:
-        return jnp.sum(r * r)
-    rn = jnp.linalg.norm(r, axis=-1)
-    quad = rn * rn
-    lin = 2.0 * delta * rn - delta * delta
-    return jnp.sum(jnp.where(rn <= delta, quad, lin))
-
-
-def huber_weights(r: jax.Array, delta: float) -> jax.Array:
-    """(O,) IRLS scale factors: sqrt(rho'(|r|)/|r|), 1 inside the quadratic zone."""
-    rn = jnp.linalg.norm(r, axis=-1)
-    return jnp.where(rn <= delta, 1.0, jnp.sqrt(delta / jnp.maximum(rn, 1e-12)))
+from sfmfromscratch_tpu.ba.problem import BAProblem
+from sfmfromscratch_tpu.ba.schur import dense_gate
 
 
 class BAResult(NamedTuple):
@@ -66,8 +47,68 @@ class BAResult(NamedTuple):
     iterations_used: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "cg_iters", "huber_delta"))
+def resolve_dense(use_dense: Optional[bool], num_cameras: int,
+                  num_points: int) -> bool:
+    """Resolve the Schur backend: explicit override > env kill-switch >
+    :func:`~sfmfromscratch_tpu.ba.schur.dense_gate`.  Called outside jit by
+    every solver entry point (single-device, selfcal, sharded) so the env var
+    participates in each cache key — toggling ``SFM_NO_DENSE_SCHUR`` after a
+    first solve of a given shape now actually switches backends (r4 ADVICE)."""
+    if use_dense is not None:
+        return bool(use_dense)
+    if os.environ.get("SFM_NO_DENSE_SCHUR"):
+        return False
+    return dense_gate(num_cameras, num_points)
+
+
+def resolve_forcing() -> bool:
+    """Eisenstat-Walker forcing unless ``SFM_NO_CG_FORCING`` is set (A/B
+    numerics diagnostics: pins eta to 0 => full fixed-iteration CG)."""
+    return not os.environ.get("SFM_NO_CG_FORCING")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iters", "cg_iters", "huber_delta", "use_dense",
+                     "forcing"),
+)
 @mm_f32
+def _bundle_adjust_impl(
+    problem: BAProblem,
+    max_iters: int,
+    cg_iters: int,
+    init_damping,
+    damping_up,
+    damping_down,
+    ftol,
+    huber_delta: float,
+    use_dense: bool,
+    forcing: bool,
+) -> BAResult:
+    out = lm_run(
+        problem,
+        selfcal=False,
+        use_dense=use_dense,
+        huber_delta=huber_delta,
+        max_iters=max_iters,
+        cg_iters=cg_iters,
+        init_damping=init_damping,
+        damping_up=damping_up,
+        damping_down=damping_down,
+        ftol=ftol,
+        forcing=forcing,
+    )
+    return BAResult(
+        cam_params=out.cam_params,
+        points=out.points,
+        initial_cost=out.initial_cost,
+        final_cost=out.final_cost,
+        initial_mean_error=out.initial_mean_error,
+        final_mean_error=out.final_mean_error,
+        iterations_used=out.iterations_used,
+    )
+
+
 def bundle_adjust(
     problem: BAProblem,
     max_iters: int = 30,
@@ -77,6 +118,7 @@ def bundle_adjust(
     damping_down: float = 0.5,
     ftol: float = 1e-2,
     huber_delta: float = 0.0,
+    use_dense: Optional[bool] = None,
 ) -> BAResult:
     """Run LM to convergence (relative cost decrease < ftol) or ``max_iters``.
 
@@ -84,104 +126,15 @@ def bundle_adjust(
     beyond delta pixels are down-weighted each iteration, so gross outlier
     tracks cannot drag the solution (the reference's scipy trf is plain least
     squares, SFM.py:421-429).
+
+    ``use_dense`` picks the Schur backend explicitly (None = auto: dense
+    exact Cholesky when ``dense_gate`` passes and ``SFM_NO_DENSE_SCHUR`` is
+    unset, matrix-free PCG otherwise).  Both backends solve the same normal
+    equations; tests/test_ba.py pins their agreement.
     """
-    C = problem.num_cameras
-    P = problem.num_points
-    # Small camera systems solve the reduced system EXACTLY as one dense
-    # Cholesky instead of a sequential CG chain (latency-bound on TPU); the
-    # gate is static (C, env) so it cannot diverge between devices, and it
-    # MUST stay mirrored in parallel/sharded_ba.py (parity contract).
-    use_dense = (
-        C <= DENSE_SCHUR_MAX_CAMS
-        and not os.environ.get("SFM_NO_DENSE_SCHUR")
-    )
-
-    def cost_fn(cam, pts):
-        if huber_delta > 0:
-            return robust_cost(problem, cam, pts, huber_delta)
-        return total_cost(problem, cam, pts)
-
-    def lm_step(state):
-        cam, pts, lam, cost, it, done, eta = state
-        eta_used = eta
-        Jc, Jp, r = jacobian_blocks(problem, cam, pts)
-        if huber_delta > 0:
-            w = huber_weights(r, huber_delta)
-            r = r * w[:, None]
-            Jc = Jc * w[:, None, None]
-            Jp = Jp * w[:, None, None]
-        op = build_normal_blocks(
-            Jc, Jp, r, problem.obs_cam, problem.obs_pt, C, P, lam
-        )
-        if use_dense:
-            dc, dp = solve_schur_dense(op)
-            eta_used = jnp.zeros_like(eta)   # exact solve: always "tight"
-        else:
-            dc, dp = solve_schur(op, cg_iters=cg_iters, tol_rel=eta)
-        dc = jnp.where(problem.cam_fixed[:, None], 0.0, dc)
-        cam_new = cam - dc
-        pts_new = pts - dp
-        new_cost = cost_fn(cam_new, pts_new)
-        finite = jnp.isfinite(new_cost)
-        improved = (new_cost < cost) & finite
-
-        cam = jnp.where(improved, cam_new, cam)
-        pts = jnp.where(improved, pts_new, pts)
-        lam = jnp.where(improved, lam * damping_down, lam * damping_up)
-        rel_decrease = (cost - new_cost) / jnp.maximum(cost, 1e-20)
-        # Converged only when a TIGHTLY-solved step (eta at its floor) stops
-        # making progress: a loose Eisenstat-Walker step that happens to move
-        # < ftol must not end the solve early (it parks the trajectory at a
-        # basin point up to ~0.5% ATE away from the optimum - measured on the
-        # bench scene; this gate recovers it for ~2 extra cheap iterations).
-        done = done | (improved & (rel_decrease < ftol) & (eta_used <= 2e-3))
-        cost = jnp.where(improved, new_cost, cost)
-        # Eisenstat-Walker forcing: the next CG solve only needs accuracy
-        # proportional to how nonlinear the problem still is.  Fast progress
-        # (large relative decrease) => loose tolerance; near convergence (or
-        # a rejected step) => tight.  Bounded to [1e-3, 0.3]; the FIRST
-        # solve starts at 0.15 — a 0.3-loose first step measurably bends the
-        # final trajectory (bench seed-7 scene: ATE 1.02% -> 0.70% of extent
-        # for ~0.06 s extra BA time; round-3 verdict weak item 2).
-        # SFM_NO_CG_FORCING=1 pins eta to 0 (full fixed-iteration CG) for
-        # A/B numerics diagnostics; the update rule here MUST stay mirrored
-        # in parallel/sharded_ba.py and ba/selfcal.py (round-3 regression).
-        if os.environ.get("SFM_NO_CG_FORCING"):
-            eta = jnp.zeros_like(eta)
-        else:
-            eta = jnp.where(
-                improved,
-                jnp.clip(jnp.sqrt(jnp.maximum(rel_decrease, 0.0)), 1e-3, 0.3),
-                jnp.asarray(1e-3, eta.dtype),
-            )
-        return cam, pts, lam, cost, it + 1, done, eta
-
-    def cond(state):
-        cam, pts, lam, cost, it, done, eta = state
-        return (it < max_iters) & jnp.logical_not(done)
-
-    cost0 = cost_fn(problem.cam_params, problem.points)
-    err0 = mean_reprojection_error(problem)
-    state = (
-        problem.cam_params,
-        problem.points,
-        jnp.asarray(init_damping, dtype=problem.points.dtype),
-        cost0,
-        jnp.asarray(0),
-        jnp.asarray(False),
-        jnp.asarray(
-            0.0 if os.environ.get("SFM_NO_CG_FORCING") else 0.15,
-            dtype=problem.points.dtype,
-        ),
-    )
-    cam, pts, _, cost, it, _, _ = jax.lax.while_loop(cond, lm_step, state)
-    err1 = mean_reprojection_error(problem, cam, pts)
-    return BAResult(
-        cam_params=cam,
-        points=pts,
-        initial_cost=cost0,
-        final_cost=cost,
-        initial_mean_error=err0,
-        final_mean_error=err1,
-        iterations_used=it,
+    return _bundle_adjust_impl(
+        problem, max_iters, cg_iters, init_damping, damping_up, damping_down,
+        ftol, huber_delta,
+        resolve_dense(use_dense, problem.num_cameras, problem.num_points),
+        resolve_forcing(),
     )

@@ -209,21 +209,31 @@ def jacobian_blocks(problem: BAProblem, cam_params: jax.Array, points: jax.Array
 
     Returns (Jc (O, 2, 6), Jp (O, 2, 3), r (O, 2)). Fixed cameras get zero
     camera blocks (their parameters cannot move).
+
+    One fused forward-mode sweep: the residual primal and all 9 Jacobian
+    columns (6 camera + 3 point) come from a single vmapped ``jvp`` over the
+    concatenated parameter vector — one primal evaluation instead of the
+    three a jacfwd-per-block formulation pays (camera jacfwd, point jacfwd,
+    separate residual pass).  Inside the LM while_loop this sweep runs every
+    iteration, so the saved passes are a direct iters/s win.
     """
     cams = cam_params[problem.obs_cam]
     Xs = points[problem.obs_pt]
     Ks = problem.K[problem.obs_cam]
 
-    def res_one(cam, X, K, xy, w):
-        return (_project_one(cam, X, K) - xy) * w
-
     def blocks(cam, X, K, xy, w):
-        Jc = jax.jacfwd(lambda c: res_one(c, X, K, xy, w))(cam)
-        Jp = jax.jacfwd(lambda p: res_one(cam, p, K, xy, w))(X)
-        return Jc, Jp
+        z = jnp.concatenate([cam, X])
 
-    Jc, Jp = jax.vmap(blocks)(cams, Xs, Ks, problem.obs_xy, problem.obs_w)
-    r = residuals(problem, cam_params, points)
+        def f(zz):
+            return (_project_one(zz[:6], zz[6:], K) - xy) * w
+
+        r_one, cols = jax.vmap(
+            lambda tangent: jax.jvp(f, (z,), (tangent,)),
+            out_axes=(None, 1),
+        )(jnp.eye(9, dtype=z.dtype))
+        return cols[:, :6], cols[:, 6:], r_one
+
+    Jc, Jp, r = jax.vmap(blocks)(cams, Xs, Ks, problem.obs_xy, problem.obs_w)
     fixed = problem.cam_fixed[problem.obs_cam]
     Jc = jnp.where(fixed[:, None, None], 0.0, Jc)
     if problem.pt_fixed is not None:

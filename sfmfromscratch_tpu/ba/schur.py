@@ -41,27 +41,38 @@ class SchurOperands(NamedTuple):
     obs_pt: jax.Array   # (O,)
 
 
+def _identity(x: jax.Array) -> jax.Array:
+    return x
+
+
 def build_normal_blocks(
     Jc: jax.Array, Jp: jax.Array, r: jax.Array,
     obs_cam: jax.Array, obs_pt: jax.Array,
     num_cameras: int, num_points: int,
     lam: jax.Array,
+    reduce_fn=None,
 ) -> SchurOperands:
     """Assemble damped U, V^-1, W, gc, gp from per-observation blocks.
 
     Damping is LM-style multiplicative on the diagonal:
     diag += lam * diag + eps (keeps the system SPD even for unobserved slots).
+
+    ``reduce_fn`` reduces cross-observation sums across shards (identity for
+    single-device, ``lax.psum`` under shard_map): it is applied between the
+    local segment-sum and the damping, so damping acts on the fully reduced
+    diagonal — the ONE place the observation-sharded solver differs.
     """
+    red = reduce_fn if reduce_fn is not None else _identity
     UtU = jnp.einsum("oki,okj->oij", Jc, Jc)          # (O, 6, 6)
     VtV = jnp.einsum("oki,okj->oij", Jp, Jp)          # (O, 3, 3)
     W = jnp.einsum("oki,okj->oij", Jc, Jp)            # (O, 6, 3)
     gc_o = jnp.einsum("oki,ok->oi", Jc, r)            # (O, 6)
     gp_o = jnp.einsum("oki,ok->oi", Jp, r)            # (O, 3)
 
-    U = jax.ops.segment_sum(UtU, obs_cam, num_segments=num_cameras)
-    V = jax.ops.segment_sum(VtV, obs_pt, num_segments=num_points)
-    gc = jax.ops.segment_sum(gc_o, obs_cam, num_segments=num_cameras)
-    gp = jax.ops.segment_sum(gp_o, obs_pt, num_segments=num_points)
+    U = red(jax.ops.segment_sum(UtU, obs_cam, num_segments=num_cameras))
+    V = red(jax.ops.segment_sum(VtV, obs_pt, num_segments=num_points))
+    gc = red(jax.ops.segment_sum(gc_o, obs_cam, num_segments=num_cameras))
+    gp = red(jax.ops.segment_sum(gp_o, obs_pt, num_segments=num_points))
 
     eps = 1e-8
     dU = jnp.diagonal(U, axis1=-2, axis2=-1)
@@ -74,31 +85,38 @@ def build_normal_blocks(
                          obs_cam=obs_cam, obs_pt=obs_pt)
 
 
-def schur_matvec(op: SchurOperands, x: jax.Array) -> jax.Array:
-    """S x = U x - W V^-1 W' x for x of shape (C, 6)."""
+def schur_matvec(op: SchurOperands, x: jax.Array, reduce_fn=None) -> jax.Array:
+    """S x = U x - W V^-1 W' x for x of shape (C, 6).
+
+    With ``reduce_fn=psum`` this is the sharded matvec: W and the obs index
+    arrays are local shards, U/Vinv replicated, two collectives per matvec —
+    the exact communication pattern of data-parallel gradient training."""
+    red = reduce_fn if reduce_fn is not None else _identity
     num_points = op.Vinv.shape[0]
     Ux = jnp.einsum("cij,cj->ci", op.U, x)
     a = jnp.einsum("oji,oj->oi", op.W, x[op.obs_cam])             # W' x  (O, 3)
-    b = jax.ops.segment_sum(a, op.obs_pt, num_segments=num_points)  # (P, 3)
+    b = red(jax.ops.segment_sum(a, op.obs_pt, num_segments=num_points))
     c = jnp.einsum("pij,pj->pi", op.Vinv, b)                      # V^-1  (P, 3)
     d = jnp.einsum("oij,oj->oi", op.W, c[op.obs_pt])              # W     (O, 6)
-    e = jax.ops.segment_sum(d, op.obs_cam, num_segments=op.U.shape[0])
+    e = red(jax.ops.segment_sum(d, op.obs_cam, num_segments=op.U.shape[0]))
     return Ux - e
 
 
-def schur_rhs(op: SchurOperands) -> jax.Array:
+def schur_rhs(op: SchurOperands, reduce_fn=None) -> jax.Array:
     """b = gc - W V^-1 gp."""
+    red = reduce_fn if reduce_fn is not None else _identity
     c = jnp.einsum("pij,pj->pi", op.Vinv, op.gp)
     d = jnp.einsum("oij,oj->oi", op.W, c[op.obs_pt])
-    e = jax.ops.segment_sum(d, op.obs_cam, num_segments=op.U.shape[0])
+    e = red(jax.ops.segment_sum(d, op.obs_cam, num_segments=op.U.shape[0]))
     return op.gc - e
 
 
-def back_substitute_points(op: SchurOperands, dc: jax.Array) -> jax.Array:
+def back_substitute_points(op: SchurOperands, dc: jax.Array, reduce_fn=None) -> jax.Array:
     """dp = V^-1 (gp - W' dc)."""
+    red = reduce_fn if reduce_fn is not None else _identity
     num_points = op.Vinv.shape[0]
     a = jnp.einsum("oji,oj->oi", op.W, dc[op.obs_cam])
-    b = jax.ops.segment_sum(a, op.obs_pt, num_segments=num_points)
+    b = red(jax.ops.segment_sum(a, op.obs_pt, num_segments=num_points))
     return jnp.einsum("pij,pj->pi", op.Vinv, op.gp - b)
 
 
@@ -184,34 +202,53 @@ def dense_schur_from_blocks(
     return S
 
 
-def solve_schur_dense(op: SchurOperands) -> Tuple[jax.Array, jax.Array]:
+def solve_schur_dense(op: SchurOperands, reduce_fn=None) -> Tuple[jax.Array, jax.Array]:
     """Exact dense solve of the reduced camera system (small camera counts).
 
     CG's matvec chain is *sequential* — at the eta floor the solve is up to
     ``cg_iters`` dependent small ops, pure launch latency on TPU.  For C
     cameras the reduced system is only (6C, 6C); materializing it costs one
     segment-sum over observations plus two batched einsums (MXU-shaped), and
-    one Cholesky solve replaces the whole chain.  Used by ba/lm.py and
-    parallel/sharded_ba.py when C <= DENSE_SCHUR_MAX_CAMS and not selfcal;
-    both gates must stay mirrored (sharded == single-device parity)."""
+    one Cholesky solve replaces the whole chain.  Chosen by
+    :func:`dense_gate`; with ``reduce_fn=psum`` the local (pt, cam) block
+    sums are reduced BEFORE the quadratic form (S is quadratic in them;
+    summing after would be wrong), then the Cholesky runs replicated."""
+    red = reduce_fn if reduce_fn is not None else _identity
     C = op.U.shape[0]
     P = op.Vinv.shape[0]
-    Bflat = point_cam_blocks(op.W, op.obs_cam, op.obs_pt, C, P)
+    Bflat = red(point_cam_blocks(op.W, op.obs_cam, op.obs_pt, C, P))
     S = dense_schur_from_blocks(op.U, op.Vinv, Bflat)
-    b = schur_rhs(op).reshape(-1)
+    b = schur_rhs(op, reduce_fn=red).reshape(-1)
     cf = jax.scipy.linalg.cho_factor(S, lower=True)
     dc = jax.scipy.linalg.cho_solve(cf, b).reshape(C, 6)
-    dp = back_substitute_points(op, dc)
+    dp = back_substitute_points(op, dc, reduce_fn=red)
     return dc, dp
 
 
-# Dense path only below this camera count: (P*C, 3, 6) blocks stay small and
-# the (6C, 6C) factorization is cheap; above it, matrix-free PCG wins.
+# Dense path only below this camera count: the (6C, 6C) factorization is
+# cheap and beats the sequential CG chain on launch latency.
 DENSE_SCHUR_MAX_CAMS = 32
+# ...but only while the materialized per-(point, camera) blocks stay small:
+# point_cam_blocks is (P*C, 3, 6) f32 (72 bytes per pair) and
+# dense_schur_from_blocks peaks at another (P, 3, 6C).  Above this product
+# the dense path multiplies HBM use ~C-fold vs matrix-free PCG, so fall back
+# (ADVICE r4: a C<=32 scene with a huge padded point count must not OOM).
+DENSE_SCHUR_MAX_CAMPOINTS = 2 ** 21   # ~150 MB of blocks at the cap
+
+
+def dense_gate(num_cameras: int, num_points: int) -> bool:
+    """True when the exact dense Schur path should be used.  THE single gate
+    for every solver (ba/lm.py and parallel/sharded_ba.py both call this;
+    there is no second copy to drift).  Static by construction: both counts
+    are padded array dims, identical on every shard."""
+    return (
+        num_cameras <= DENSE_SCHUR_MAX_CAMS
+        and num_cameras * num_points <= DENSE_SCHUR_MAX_CAMPOINTS
+    )
 
 
 def solve_schur(
-    op: SchurOperands, cg_iters: int, tol_rel=0.0
+    op: SchurOperands, cg_iters: int, tol_rel=0.0, reduce_fn=None
 ) -> Tuple[jax.Array, jax.Array]:
     """Solve the reduced camera system by block-Jacobi-preconditioned CG,
     back-substitute points. Returns (dc (C, 6), dp (P, 3)) — the LM *descent*
@@ -222,12 +259,13 @@ def solve_schur(
     growth on long weakly-coupled camera chains where plain CG stalls on the
     low-frequency modes (measured: 1000-camera orbit, reproj converges but
     the trajectory keeps a global bend with plain CG at any fixed count)."""
-    b = schur_rhs(op)
+    red = reduce_fn if reduce_fn is not None else _identity
+    b = schur_rhs(op, reduce_fn=red)
     flat_b = b.reshape(-1)
     Uinv = jnp.linalg.inv(op.U)
 
     def mv(xflat):
-        return schur_matvec(op, xflat.reshape(b.shape)).reshape(-1)
+        return schur_matvec(op, xflat.reshape(b.shape), reduce_fn=red).reshape(-1)
 
     def pc(rflat):
         r = rflat.reshape(b.shape)
@@ -236,5 +274,5 @@ def solve_schur(
     dc = conjugate_gradient(
         mv, flat_b, num_iters=cg_iters, precond=pc, tol_rel=tol_rel
     ).reshape(b.shape)
-    dp = back_substitute_points(op, dc)
+    dp = back_substitute_points(op, dc, reduce_fn=red)
     return dc, dp

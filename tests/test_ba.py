@@ -19,9 +19,13 @@ from sfmfromscratch_tpu.ba.problem import jacobian_blocks
 from sfmfromscratch_tpu.ops.lie import so3_log
 
 
-def _multi_view_problem(rng, num_cams=4, num_pts=60, noise=0.0, perturb=0.0):
+def _multi_view_problem(rng, num_cams=4, num_pts=60, noise=0.0, perturb=0.0,
+                        motion_scale=1.0):
     """Synthetic multi-view scene in reference layout; optionally perturb the
-    initial estimate so BA has work to do."""
+    initial estimate so BA has work to do.  ``motion_scale`` shrinks the
+    per-camera motion step — needed for large ``num_cams`` (at scale 1 the
+    cumulative rotation passes 2 rad by camera 40 and the projections are
+    garbage)."""
     from scipy.spatial.transform import Rotation
 
     K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
@@ -31,8 +35,8 @@ def _multi_view_problem(rng, num_cams=4, num_pts=60, noise=0.0, perturb=0.0):
     )
     cams = []
     for c in range(num_cams):
-        rv = np.array([0.02, -0.05, 0.01]) * c
-        t = np.array([-0.3 * c, 0.02 * c, 0.05 * c])
+        rv = np.array([0.02, -0.05, 0.01]) * c * motion_scale
+        t = np.array([-0.3 * c, 0.02 * c, 0.05 * c]) * motion_scale
         cams.append((Rotation.from_rotvec(rv).as_matrix(), t, rv))
 
     obs_cam, obs_pt, obs_xy = [], [], []
@@ -150,6 +154,66 @@ def test_ba_handles_padded_observations(rng):
     full_a = bundle_adjust(problem, max_iters=8, cg_iters=30)
     full_b = bundle_adjust(padded, max_iters=8, cg_iters=30)
     assert abs(float(full_a.final_mean_error) - float(full_b.final_mean_error)) < 0.05
+
+
+def test_dense_vs_cg_schur_agreement(rng):
+    """solve_schur_dense and the matrix-free PCG solve_schur are two backends
+    for the SAME reduced camera system: on one set of SchurOperands, with CG
+    run tight, the camera and point steps must agree (r4 ADVICE: the suite
+    previously exercised only whichever backend the gate picked)."""
+    from sfmfromscratch_tpu.ba.schur import solve_schur_dense
+
+    problem, _, _ = _multi_view_problem(rng, num_cams=6, num_pts=40, perturb=0.05)
+    Jc, Jp, r = jacobian_blocks(problem, problem.cam_params, problem.points)
+    op = build_normal_blocks(
+        Jc, Jp, r, problem.obs_cam, problem.obs_pt,
+        problem.num_cameras, problem.num_points, jnp.asarray(1e-3),
+    )
+    dc_d, dp_d = solve_schur_dense(op)
+    dc_c, dp_c = solve_schur(op, cg_iters=400, tol_rel=0.0)
+    scale = float(jnp.abs(dc_d).max())
+    np.testing.assert_allclose(np.asarray(dc_c), np.asarray(dc_d),
+                               rtol=1e-3, atol=1e-3 * scale)
+    np.testing.assert_allclose(np.asarray(dp_c), np.asarray(dp_d),
+                               rtol=1e-3, atol=1e-3 * float(jnp.abs(dp_d).max()))
+
+
+@pytest.mark.parametrize("use_dense", [True, False])
+def test_ba_backend_parity(rng, use_dense):
+    """Full LM runs on both Schur backends converge to the same quality
+    (explicit ``use_dense`` override — the supported way to A/B the backends;
+    ``SFM_NO_DENSE_SCHUR`` resolves to the same flag outside jit)."""
+    problem, _, _ = _multi_view_problem(rng, perturb=0.03)
+    res = bundle_adjust(problem, max_iters=25, cg_iters=80, ftol=1e-8,
+                        use_dense=use_dense)
+    assert float(res.final_mean_error) < 0.05
+
+
+def test_ba_beyond_dense_gate_uses_cg(rng):
+    """A 40-camera problem exceeds DENSE_SCHUR_MAX_CAMS: the auto gate picks
+    the matrix-free PCG path (the production solver for large C and the
+    multichip scaling story) and still converges."""
+    from sfmfromscratch_tpu.ba.lm import resolve_dense
+    from sfmfromscratch_tpu.ba.schur import dense_gate
+
+    problem, _, _ = _multi_view_problem(rng, num_cams=40, num_pts=80,
+                                        perturb=0.02, motion_scale=0.15)
+    assert not dense_gate(problem.num_cameras, problem.num_points)
+    assert not resolve_dense(None, problem.num_cameras, problem.num_points)
+    res = bundle_adjust(problem, max_iters=20, cg_iters=60, ftol=1e-8)
+    assert float(res.final_mean_error) < 0.1
+
+
+def test_dense_gate_bounds_points():
+    """The dense gate must also bound P: point_cam_blocks materializes
+    (P*C, 3, 6) + a (P, 3, 6C) intermediate every LM iteration, so a C<=32
+    scene with a huge padded point count must fall back to matrix-free PCG
+    (r4 ADVICE item 2)."""
+    from sfmfromscratch_tpu.ba.schur import dense_gate
+
+    assert dense_gate(16, 1024)
+    assert not dense_gate(16, 10_000_000)
+    assert not dense_gate(64, 128)
 
 
 def _focal_observable_problem(rng, focal_error=1.06):
