@@ -30,6 +30,22 @@ if not os.environ.get("SFM_TEST_TPU"):
 import numpy as np
 import pytest
 
+# Raise the kernel mmap ceiling when we can (container runs as root): every
+# XLA:CPU executable holds ~18 mappings and the default 65530 ceiling forces
+# the _xla_map_guard below to jax.clear_caches() mid-suite, recompiling every
+# shared program afterwards (~tens of seconds per dump).  Best-effort: the
+# guard remains the fallback when the sysctl is not writable.
+_MAP_GUARD_THRESHOLD = 40_000
+try:
+    with open("/proc/sys/vm/max_map_count", "r+") as _f:
+        if int(_f.read()) < 262_144:
+            _f.seek(0)
+            _f.write("262144")
+    with open("/proc/sys/vm/max_map_count") as _f:
+        _MAP_GUARD_THRESHOLD = int(int(_f.read()) * 0.6)
+except OSError:
+    pass
+
 
 @pytest.fixture(autouse=True)
 def _xla_map_guard():
@@ -49,7 +65,7 @@ def _xla_map_guard():
             n = sum(1 for _ in f)
     except OSError:
         return
-    if n > 40_000:
+    if n > _MAP_GUARD_THRESHOLD:
         jax.clear_caches()
 
 

@@ -1,3 +1,4 @@
+import pytest
 """Accuracy under non-ideal imaging (VERDICT round-2 item 6).
 
 The reference's demo modality is real JPEG photographs (main.py:29-30) whose
@@ -43,6 +44,7 @@ def test_degrade_model_properties(rng):
     assert hf(out[2]) < hf(out[1])
 
 
+@pytest.mark.slow
 def test_incremental_engine_on_degraded_sequence(rng, tmp_path):
     """Sequential engine, clean vs degraded imaging on the identical scene:
     the degraded run must still reconstruct (graceful degradation, not
@@ -71,6 +73,7 @@ def test_incremental_engine_on_degraded_sequence(rng, tmp_path):
     assert e1.map.num_tracks > 0.4 * e0.map.num_tracks
 
 
+@pytest.mark.slow
 def test_global_engine_on_degraded_planes(rng, tmp_path):
     """Global engine on the perspective-correct renderer under the full
     imaging model — the closest fixture to the reference's real-photo demo."""

@@ -158,6 +158,7 @@ def test_async_checkpointer_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(eng2._kp_tracks[1], eng._kp_tracks[1])
 
 
+@pytest.mark.slow
 def test_export_ply_and_colmap(tmp_path):
     """PLY + COLMAP sparse-text export of a reconstruction (io/export.py) —
     output the reference cannot produce (it only writes its own npz,
@@ -197,4 +198,56 @@ def test_export_ply_and_colmap(tmp_path):
     assert n_pts == eng.map.num_tracks
     # every 3-D point line: id x y z rgb error + pairs
     first = [l for l in pts_txt if not l.startswith("#")][0].split()
+    assert (len(first) - 8) % 2 == 0 and len(first) >= 10
+
+
+def test_export_formats_on_stub_map(tmp_path):
+    """Fast-profile export format contract: save_ply / save_colmap consume the
+    engine's attribute surface (map.observations/points, global_poses,
+    global_K) — a hand-built stub pins the FORMAT without paying a full
+    engine run (the engine-sourced variant above is in the slow profile)."""
+    import numpy as np
+
+    from sfmfromscratch_tpu.io.export import save_colmap, save_ply
+
+    rng = np.random.default_rng(0)
+    P, C = 23, 3
+    frames = np.repeat(np.arange(C), P)[: 2 * P]
+    tracks = np.concatenate([np.arange(P), np.arange(P)])[: len(frames)]
+    xy = rng.uniform(0, 200, (len(frames), 2))
+    pts = rng.standard_normal((P, 3))
+
+    class _Map:
+        num_tracks = P
+
+        def observations(self):
+            return frames, tracks, xy
+
+        def points(self):
+            return pts
+
+    class _Eng:
+        map = _Map()
+        global_poses = [(rng.standard_normal(3) * 0.1, rng.standard_normal(3))
+                        for _ in range(C)]
+        global_K = [np.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1]])] * C
+
+    eng = _Eng()
+    ply = save_ply(eng, str(tmp_path / "m.ply"))
+    lines = open(ply).read().splitlines()
+    assert lines[0] == "ply"
+    n_vert = int([l for l in lines if l.startswith("element vertex")][0].split()[-1])
+    assert n_vert == P + C
+    body = lines[lines.index("end_header") + 1:]
+    assert len(body) == n_vert and all(len(l.split()) == 6 for l in body)
+
+    cm = save_colmap(eng, str(tmp_path / "colmap"))
+    cams = open(f"{cm}/cameras.txt").read().splitlines()
+    imgs_txt = open(f"{cm}/images.txt").read().splitlines()
+    pts_txt = open(f"{cm}/points3D.txt").read().splitlines()
+    assert sum(1 for l in cams if not l.startswith("#")) == C
+    assert sum(1 for l in imgs_txt if not l.startswith("#")) == 2 * C
+    pts_lines = [l for l in pts_txt if not l.startswith("#")]
+    assert len(pts_lines) == P
+    first = pts_lines[0].split()
     assert (len(first) - 8) % 2 == 0 and len(first) >= 10

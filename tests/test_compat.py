@@ -147,6 +147,7 @@ def test_bundle_adjustment_compat(rng):
     assert np.sqrt(np.mean(r**2)) < 2.0
 
 
+@pytest.mark.slow
 def test_sfmrunner_compat_end_to_end(tmp_path):
     """compat.SFMRunner: reference constructor signature, reference-style
     attributes populated after the run (Runner.py:128-177 contract)."""

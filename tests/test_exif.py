@@ -102,6 +102,7 @@ def test_intrinsics_all_sensor_types(tmp_path):
 # ----------------------------------------------------------------- e2e level
 
 
+@pytest.mark.slow
 def test_engine_exif_intrinsics_e2e(tmp_path):
     """Full SfmEngine run with per-image K from EXIF (no single_K), the path
     the reference drives at Runner.py:340-342.
@@ -136,6 +137,7 @@ def test_engine_exif_intrinsics_e2e(tmp_path):
     assert np.isfinite(after) and after < 2.0
 
 
+@pytest.mark.slow
 def test_engine_exif_scale_factor(tmp_path):
     """With scale_factor=0.5 the engine detects on half-res images and scales
     K to match (fixing the reference's K-vs-resolution inconsistency noted at

@@ -140,6 +140,7 @@ def test_two_view_entry(rng):
     assert float(res.mean_reproj_error) < 2.0
 
 
+@pytest.mark.slow
 def test_pose_recovery_mode(rng, tmp_path):
     """A sequence with a broken middle frame survives in recover mode and
     writes periodic checkpoints."""
@@ -187,6 +188,7 @@ def test_checkpoint_resume_continues(rng, tmp_path):
     assert eng2.map.num_tracks == 4
 
 
+@pytest.mark.slow
 def test_engine_with_custom_extractor(tmp_path):
     """The extractor strategy slot (reference feature_extractor_class,
     Runner.py:129-130): plug a custom callable into the engine."""

@@ -119,6 +119,7 @@ def test_global_multiview_tracks(engine):
     assert (counts >= 3).sum() > 10
 
 
+@pytest.mark.slow
 def test_cli_global_pipeline(rendered, tmp_path, capsys):
     """`reconstruct --pipeline global` end-to-end through the CLI."""
     from sfmfromscratch_tpu.cli import main
@@ -138,6 +139,7 @@ def test_cli_global_pipeline(rendered, tmp_path, capsys):
     assert (tmp_path / "cli_g.npz").exists()
 
 
+@pytest.mark.slow
 def test_global_engine_on_mesh(rendered, tmp_path):
     """Global pipeline on the virtual 8-device mesh: DP-sharded relative
     poses + sharded BA must match the single-device reconstruction quality."""
@@ -154,6 +156,7 @@ def test_global_engine_on_mesh(rendered, tmp_path):
     assert eng.map.num_tracks > 40
 
 
+@pytest.mark.slow
 def test_global_retrieval_unordered(tmp_path):
     """Retrieval pair selection reconstructs an UNORDERED collection — the
     images are shuffled so the sequential-window assumption is void. Uses the
@@ -192,6 +195,7 @@ def test_global_retrieval_unordered(tmp_path):
     assert ate / extent < 0.08, f"ATE {ate:.4f} vs extent {extent:.4f}"
 
 
+@pytest.mark.slow
 def test_keyframed_registration(tmp_path):
     """keyframe_step > 1: the view graph runs on every k-th frame and the
     rest register by batched PnP against the keyframe map. Pins the dense
@@ -231,6 +235,7 @@ def test_keyframed_registration(tmp_path):
     assert 100 * ate / extent < 8.0
 
 
+@pytest.mark.slow
 def test_auto_keyframe_selection(tmp_path):
     """keyframe_step="auto": flow-adaptive selection picks sparser keyframes
     where the camera moves faster, and the reconstruction still lands."""

@@ -128,6 +128,7 @@ def test_matcher_golden_on_real_descriptors(demo_pair):
     )
 
 
+@pytest.mark.slow
 def test_pyramid_pipeline_match_agreement(demo_pair):
     """Full extractor pipelines (pyramid + rotation invariance + matching)
     side by side on an identical image pair: the two engines' final match
@@ -187,15 +188,18 @@ def test_pyramid_pipeline_match_agreement(demo_pair):
     assert frac > 0.75
 
 
-def test_e2e_parity_ci(tmp_path):
-    """CI-sized end-to-end parity (VERDICT round-2 item 5): BOTH pipelines on
-    the same 4 views with the reference's optimizer loops capped hard enough
-    to finish in ~1-2 min, asserting our reconstruction matches or beats the
-    capped reference on reproj and ATE. This runs in the DEFAULT suite so a
-    full-pipeline parity regression (round 3 shipped one) fails CI; the
-    demo-scale version below (GOLDEN_DEMO=1) keeps the headline numbers."""
-    _ref_path()
+# Pinned capped-reference results for the CI e2e scene (seed 11, 4 views,
+# 260 pts; reference caps: 300 RANSAC iters, max_nfev=400, global BA
+# disabled).  The reference is deterministic on this fixture (it seeds its
+# own RANSAC, SFM.py:45,133), so the DEFAULT fast profile asserts OUR
+# pipeline against these pins without re-paying the ~50 s pure-Python
+# reference run every CI; test_e2e_parity_reference_pins (slow profile)
+# recomputes the reference live and validates the pins.
+_CI_REF_REPROJ_PX = 7.309
+_CI_REF_ATE_FRAC = 0.3403      # reference ATE / trajectory extent
 
+
+def _ci_scene(tmp_path):
     rng = np.random.default_rng(11)
     num_views = 4
     images, K, poses, X = render_sequence(
@@ -207,7 +211,13 @@ def test_e2e_parity_ci(tmp_path):
     write_sequence(str(seq_dir), images)
     K_half = K.copy()
     K_half[:2] *= 0.5
+    return seq_dir, num_views, K_half, poses
 
+
+def _ci_run_reference(tmp_path, seq_dir, num_views, K_half, poses):
+    """Run the reference pipeline with capped optimizer loops; returns
+    (reproj_err, ate_fraction_of_extent, extent)."""
+    _ref_path()
     import SFM as RefSFM
     from Runner import SFMRunner as RefRunner
     from PoseEstimator import PnPRansac as RefPnPRansac
@@ -261,7 +271,21 @@ def test_e2e_parity_ci(tmp_path):
     gt = np.stack([-(R.T @ t) for R, t in poses[1: len(ref_centers) + 1]])
     extent = float(np.linalg.norm(gt.max(0) - gt.min(0)))
     ref_ate = absolute_trajectory_error(ref_centers, gt)
+    return float(ref_err), float(ref_ate) / extent, extent
 
+
+def test_e2e_parity_ci(tmp_path):
+    """CI-sized end-to-end parity (VERDICT round-2 item 5): our full pipeline
+    on the 4-view CI scene, asserted against the PINNED capped-reference
+    results above, so a full-pipeline parity regression (round 3 shipped one)
+    fails the default suite. The pins themselves are re-derived by the
+    slow-profile test below; the demo-scale version (GOLDEN_DEMO=1) keeps
+    the headline numbers."""
+    seq_dir, num_views, K_half, poses = _ci_scene(tmp_path)
+
+    from sfmfromscratch_tpu.utils.metrics import (
+        absolute_trajectory_error, camera_centers,
+    )
     from sfmfromscratch_tpu.config import (
         BundleAdjustConfig, ExtractorConfig, MatcherConfig, PipelineConfig,
         RansacConfig,
@@ -285,14 +309,30 @@ def test_e2e_parity_ci(tmp_path):
     ts = np.stack([t for _, t in eng.global_poses])
     est = camera_centers(rvecs, ts)
     gt_ours = np.stack([-(R.T @ t) for R, t in poses[1: len(est) + 1]])
+    extent = float(np.linalg.norm(gt_ours.max(0) - gt_ours.min(0)))
     ours_ate = absolute_trajectory_error(est, gt_ours)
 
-    print(f"\nCI e2e parity: ref reproj {ref_err:.3f} px ATE "
-          f"{100 * ref_ate / extent:.2f}%; ours {ours_pre:.3f}->"
+    print(f"\nCI e2e parity: pinned ref reproj {_CI_REF_REPROJ_PX:.3f} px ATE "
+          f"{100 * _CI_REF_ATE_FRAC:.2f}%; ours {ours_pre:.3f}->"
           f"{ours_post:.3f} px ATE {100 * ours_ate / extent:.2f}%")
-    assert ours_post <= max(1.1 * ref_err, 0.5)
-    assert ours_ate <= max(1.1 * ref_ate, 0.02 * extent)
+    assert ours_post <= max(1.1 * _CI_REF_REPROJ_PX, 0.5)
+    assert ours_ate <= max(1.1 * _CI_REF_ATE_FRAC * extent, 0.02 * extent)
     assert eng.map.num_tracks > 100
+
+
+@pytest.mark.slow
+def test_e2e_parity_reference_pins(tmp_path):
+    """Slow profile: recompute the capped reference live and validate the
+    pins the fast e2e parity test asserts against (guards the pins going
+    stale if the renderer, caps, or reference environment ever change)."""
+    seq_dir, num_views, K_half, poses = _ci_scene(tmp_path)
+    ref_err, ref_ate_frac, extent = _ci_run_reference(
+        tmp_path, seq_dir, num_views, K_half, poses)
+    print(f"\nreference pins: reproj {ref_err:.3f} px (pin "
+          f"{_CI_REF_REPROJ_PX}), ATE {ref_ate_frac:.4f} of extent (pin "
+          f"{_CI_REF_ATE_FRAC})")
+    assert abs(ref_err - _CI_REF_REPROJ_PX) <= 0.05 * _CI_REF_REPROJ_PX
+    assert abs(ref_ate_frac - _CI_REF_ATE_FRAC) <= 0.02
 
 
 @pytest.mark.skipif(os.environ.get("GOLDEN_DEMO") != "1",

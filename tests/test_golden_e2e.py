@@ -35,6 +35,7 @@ def scene(tmp_path_factory):
 
 
 @pytest.mark.skipif(not _ref_available(), reason="reference tree unavailable")
+@pytest.mark.slow
 def test_full_pipeline_matches_reference_quality(scene, tmp_path):
     # --- Reference run (its FeatureRunner rescales images by 0.5,
     # Runner.py:23; hand it intrinsics at that working scale).

@@ -41,6 +41,7 @@ def _edge_rot_errors(eng, poses):
 # --------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_planar_degenerate_scene_end_to_end(rng, tmp_path, monkeypatch):
     """A scene that is ONE plane: every pair's matches are H-degenerate and
     the 8-point essential pipeline can return a confidently-wrong rotation.

@@ -29,6 +29,7 @@ def _free_port() -> int:
 import pytest
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("nproc,devs_per_proc", [(2, 4), (4, 2)])
 def test_multi_process_distributed_ba(tmp_path, nproc, devs_per_proc):
     """2 processes x 4 devices and 4 processes x 2 devices (VERDICT round-1
@@ -70,6 +71,7 @@ def test_multi_process_distributed_ba(tmp_path, nproc, devs_per_proc):
     assert v["stream_resident_frac"] < 0.85
 
 
+@pytest.mark.slow
 def test_host_sharded_match_graph(tmp_path):
     """Two processes each compute HALF the match graph into a shared pair
     cache (no coordinator — one atomic file per pair); a subsequent engine run

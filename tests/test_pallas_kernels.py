@@ -134,3 +134,34 @@ def test_sift_kernel_batched_vmap(img):
     got = jax.vmap(lambda im, xx, yy, mm: fn(im, xx, yy, mm, True))(imgs, x, y, mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_harris_tiled_matches_xla():
+    """Row-tiled halo-DMA kernel (large images): exact agreement with the XLA
+    reference, including at tile seams and image borders."""
+    from sfmfromscratch_tpu.ops.pallas.harris_kernel import (
+        harris_response_pallas_tiled,
+    )
+
+    r = np.random.default_rng(3)
+    # Non-multiple-of-tile height and non-multiple-of-128 width on purpose.
+    img_big = jnp.asarray(r.uniform(0, 1, (200, 168)), jnp.float32)
+    ref = np.asarray(harris_response(img_big, 7, 3.0, 0.05))
+    got = np.asarray(harris_response_pallas_tiled(
+        img_big, 7, 3.0, 0.05, interpret=True, tile_rows=64))
+    np.testing.assert_allclose(got, ref, atol=1e-5 * np.abs(ref).max())
+
+
+def test_harris_tiled_vmap_batched():
+    from sfmfromscratch_tpu.ops.pallas.harris_kernel import (
+        harris_response_pallas_tiled,
+    )
+
+    r = np.random.default_rng(4)
+    imgs = jnp.asarray(r.uniform(0, 1, (3, 120, 160)), jnp.float32)
+    ref = np.stack([np.asarray(harris_response(im, 7, 3.0, 0.05)) for im in imgs])
+    got = np.asarray(jax.vmap(
+        lambda im: harris_response_pallas_tiled(im, 7, 3.0, 0.05,
+                                                interpret=True, tile_rows=64)
+    )(imgs))
+    np.testing.assert_allclose(got, ref, atol=1e-5 * np.abs(ref).max())

@@ -103,6 +103,7 @@ def test_dp_feature_extraction_sharded(rng):
     assert not kps.x.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_engine_with_mesh(rng, tmp_path):
     """Full engine on the 8-device CPU mesh: DP feature extraction + sharded BA."""
     from tests.render import render_sequence, write_sequence
@@ -139,6 +140,7 @@ def test_sharded_selfcal_matches_single_device(rng):
     assert float(res_s.final_mean_error) < 0.35  # the 0.3 px noise floor
 
 
+@pytest.mark.slow
 def test_engine_selfcal_on_mesh(rng, tmp_path):
     """refine_focal no longer warns-and-skips on a mesh: the engine routes it
     through the sharded bordered-Schur solver."""

@@ -95,6 +95,7 @@ def test_viewer_headless(engine, tmp_path):
     assert (tmp_path / "cloud.png").exists()
 
 
+@pytest.mark.slow
 def test_engine_pair_window(tmp_path):
     """pair_window>1 builds a denser multi-view track graph (more observations
     per track) and still reconstructs. Uses a gentle trajectory so
@@ -271,6 +272,7 @@ def test_engine_mixed_image_shapes(tmp_path):
     assert eng.errors_before_after_ba[1] < 3.0
 
 
+@pytest.mark.slow
 def test_chain_low_parallax_orbit(tmp_path):
     """Tiny-parallax orbit regression gate (round 4): at 0.8 deg/view the
     DLT/P3P/GN linear algebra runs at cond ~1e6 and closed-form small-matrix

@@ -27,6 +27,7 @@ def orbit(tmp_path_factory):
     return dict(dir=str(d), K=K, images=images)
 
 
+@pytest.mark.slow
 def test_featureless_frame_recovery(orbit, tmp_path):
     """A flat (featureless, zero-overlap) frame mid-sequence: incremental
     recover mode chains through it with warnings; the global pipeline keeps
@@ -48,6 +49,7 @@ def test_featureless_frame_recovery(orbit, tmp_path):
     assert geng.errors_before_after_ba[1] < 3.0
 
 
+@pytest.mark.slow
 def test_duplicate_image_zero_baseline(orbit, tmp_path):
     """An exact duplicate frame (zero-baseline pair) must not break either
     pipeline: triangulation/averaging gates degenerate geometry instead of
@@ -65,6 +67,7 @@ def test_duplicate_image_zero_baseline(orbit, tmp_path):
     assert geng.errors_before_after_ba[1] < 3.0
 
 
+@pytest.mark.slow
 def test_minimal_two_view_sequences(orbit, tmp_path):
     """max_img=2 degenerates to the bootstrap alone — both engines must
     produce a two-view reconstruction, not crash on an empty chain."""

@@ -117,6 +117,7 @@ def test_stream_matches_monolithic_ba(rng, tmp_path):
     assert stats.clamped_tracks == 0
 
 
+@pytest.mark.slow
 def test_stream_block_count_invariance(rng, tmp_path):
     """Final quality must not depend on how the map is blocked."""
     m, _ = _synthetic_map(rng, C=120, track_len=20, perturb=0.008)
@@ -156,6 +157,7 @@ def test_stream_1000_views_bounded_memory(rng, tmp_path):
     assert np.isfinite(xyz).all()
 
 
+@pytest.mark.slow
 def test_engine_stream_ba_matches_default(rng, tmp_path):
     """GlobalSfmEngine(stream_ba_window=...) end-to-end == default BA."""
     from tests.render import render_sequence, write_sequence

@@ -45,6 +45,7 @@ def test_two_view_twenty_degrees(scene):
     assert med < 1.5, f"median epipolar distance {med:.2f} px"
 
 
+@pytest.mark.slow
 def test_global_reconstruction_ten_degree_steps(scene, tmp_path):
     """Full global pipeline at 10-degree view spacing: sub-percent ATE."""
     import cv2
