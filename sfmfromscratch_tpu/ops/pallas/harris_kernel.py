@@ -143,11 +143,156 @@ def harris_response_pallas(
     return run(image)
 
 
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _harris_tiled_kernel(gauss_ref, alpha_ref, img_hbm, out_ref,
+                         scratch, sem, *, TH, THp, halo, num_tiles, H, W):
+    """Row-tiled variant for images too large for the whole-block kernel.
+
+    The padded images stay in HBM (memory_space=ANY); each grid step DMAs a
+    (THp, Wp) row slab — TH output rows plus a ``halo`` ring so the separable
+    convolutions read true neighbor pixels at tile seams — into one of two
+    VMEM slots, with the NEXT slab's DMA issued before this slab's compute
+    (double buffering: the HBM stream overlaps the VPU convolution chain, so
+    the kernel tracks the bandwidth roofline instead of alternating
+    stalls).  Zero padding in the slab reproduces BORDER_CONSTANT semantics
+    at image borders (reference NaiveSIFT.py:67-69)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    def get_dma(slot, tile):
+        return pltpu.make_async_copy(
+            img_hbm.at[b, pl.ds(tile * TH, THp), :],
+            scratch.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        get_dma(0, 0).start()
+
+    slot = jax.lax.rem(i, 2)
+    next_slot = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i + 1 < num_tiles)
+    def _():
+        get_dma(next_slot, i + 1).start()
+
+    get_dma(slot, i).wait()
+    img = scratch[slot]
+
+    Ix = _sep_conv(img, (-1.0, 0.0, 1.0), (1.0, 2.0, 1.0))
+    Iy = _sep_conv(img, (1.0, 2.0, 1.0), (-1.0, 0.0, 1.0))
+    # BORDER_CONSTANT parity: the slab's zero margin makes Sobel fire one
+    # pixel OUTSIDE the true image (zero pad -> image step edge), and the
+    # Gaussian would smear those phantom gradients back in.  The XLA path
+    # has no outside — zero every gradient not on a true image pixel.
+    rows = jax.lax.broadcasted_iota(jnp.int32, img.shape, 0) + i * TH - halo
+    cols = jax.lax.broadcasted_iota(jnp.int32, img.shape, 1)
+    inside = (rows >= 0) & (rows < H) & (cols < W)
+    Ix = jnp.where(inside, Ix, 0.0)
+    Iy = jnp.where(inside, Iy, 0.0)
+    taps = tuple(gauss_ref[0, k] for k in range(gauss_ref.shape[1]))
+    Sxx = _sep_conv(Ix * Ix, taps, taps)
+    Sxy = _sep_conv(Ix * Iy, taps, taps)
+    Syy = _sep_conv(Iy * Iy, taps, taps)
+    det = Sxx * Syy - Sxy * Sxy
+    trace = Sxx + Syy
+    R = det - alpha_ref[0, 0] * trace * trace
+    out_ref[0] = jax.lax.slice(R, (halo, 0), (halo + TH, R.shape[1]))
+
+
+def _harris_tiled_batched(
+    images: jax.Array, gaussian_size: int, sigma, alpha,
+    interpret: bool, tile_rows: int,
+) -> jax.Array:
+    """(B, H, W) batched row-tiled response (grid = batch x row tiles)."""
+    B, H, W = images.shape
+    halo = gaussian_size // 2 + 1          # sobel (1) + gaussian reach
+    TH = tile_rows
+    num_tiles = -(-H // TH)
+    THp = _round_up(TH + 2 * halo, 8)
+    Wp = _round_up(W, 128)
+    Hp = (num_tiles - 1) * TH + THp
+    padded = jnp.zeros((B, Hp, Wp), images.dtype).at[
+        :, halo:halo + H, :W
+    ].set(images)
+
+    mean = gaussian_size // 2
+    axis = jnp.asarray(np.linspace(-mean, mean, gaussian_size), dtype=images.dtype)
+    e = jnp.exp(-(axis ** 2) / (2.0 * jnp.asarray(sigma, images.dtype) ** 2))
+    g_row = (e / jnp.sum(e))[None, :]
+    alpha_arr = jnp.asarray([[alpha]], dtype=images.dtype)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _harris_tiled_kernel, TH=TH, THp=THp, halo=halo,
+            num_tiles=num_tiles, H=H, W=W,
+        ),
+        grid=(B, num_tiles),
+        out_shape=jax.ShapeDtypeStruct((B, num_tiles * TH, Wp), images.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, TH, Wp), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, THp, Wp), images.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(g_row, alpha_arr, padded)
+    return out[:, :H, :W]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gaussian_size", "sigma", "alpha", "interpret", "tile_rows"),
+)
+def harris_response_pallas_tiled(
+    image: jax.Array,
+    gaussian_size: int,
+    sigma,
+    alpha,
+    interpret: bool = False,
+    tile_rows: int = 128,
+) -> jax.Array:
+    """Fused Harris response for images beyond the whole-block VMEM budget
+    (>=960x1280 hires ladder scales, VERDICT r4 item 2): row-tiled grid with
+    double-buffered halo DMA.  Matches the XLA path exactly on the valid
+    region (tested in tests/test_pallas_kernels.py); ``jax.vmap`` dispatches
+    to the natively-batched grid like the whole-block kernel."""
+
+    @jax.custom_batching.custom_vmap
+    def run(img):
+        return _harris_tiled_batched(
+            img[None], gaussian_size, sigma, alpha, interpret, tile_rows
+        )[0]
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, imgs):
+        out = _harris_tiled_batched(
+            imgs, gaussian_size, sigma, alpha, interpret, tile_rows
+        )
+        return out, True
+
+    return run(image)
+
+
 def harris_response_fused(
     image: jax.Array, gaussian_size: int, sigma, alpha, interpret: bool = False
 ) -> jax.Array:
-    """Fused Harris response with automatic XLA fallback for oversized images."""
+    """Fused Harris response: whole-block kernel for images that fit VMEM,
+    row-tiled halo-DMA kernel beyond that (XLA only as the last resort)."""
     H, W = image.shape
     if H * W * 4 * 8 > _VMEM_BUDGET_BYTES:
+        if interpret or H * W <= 4096 * 4096:
+            return harris_response_pallas_tiled(
+                image, gaussian_size, sigma, alpha, interpret=interpret
+            )
         return harris_response_xla(image, gaussian_size, sigma, alpha)
     return harris_response_pallas(image, gaussian_size, sigma, alpha, interpret=interpret)

