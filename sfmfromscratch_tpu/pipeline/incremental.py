@@ -380,6 +380,7 @@ class SfmEngine:
         feature_extractor=None,
         pair_cache_dir: Optional[str] = None,
         refine_focal: bool = False,
+        chain_refresh: Optional[str] = None,
         auto_run: bool = True,
     ):
         self.img_path = img_path
@@ -409,6 +410,14 @@ class SfmEngine:
         # of one monolithic end-of-run solve).
         self.local_ba_every = local_ba_every
         self.local_ba_window = local_ba_window
+        # Post-chain pose refresh before the final BA. "averaging" re-derives
+        # rotations/centers by motion averaging over the map's own track
+        # correspondences (pipeline/chain_refresh.py) — the measured fix for
+        # chain drift on low-parallax orbits, where the bent chain is a
+        # CONVERGED local minimum that neither windowed local BA nor more LM
+        # iterations can escape (round-5 experiments, docs/PERFORMANCE.md).
+        assert chain_refresh in (None, "averaging")
+        self.chain_refresh = chain_refresh
         # Extractor strategy slot (reference feature_extractor_class,
         # Runner.py:129-130): any callable (image_bw) -> Features with the
         # fixed-capacity contract — e.g. ops.superpoint.SuperPointExtractor
@@ -1555,6 +1564,12 @@ class SfmEngine:
                 self._chain_scan(P2)
             else:
                 self._chain(p3d, p2_obs, track_ids, P2)
+        if self.chain_refresh == "averaging":
+            from sfmfromscratch_tpu.pipeline.chain_refresh import (
+                averaging_refresh,
+            )
+
+            averaging_refresh(self)
         self._global_ba()
         if self.model_name is not None:
             self.save_data()

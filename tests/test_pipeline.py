@@ -308,3 +308,102 @@ def test_chain_low_parallax_orbit(tmp_path):
     eng = SfmEngine(str(d), 20, config=cfg, single_K=K)
     b, a = eng.errors_before_after_ba
     assert a < 1.5, (b, a)
+
+
+def test_edge_scale_solver_recovers_ratios(rng):
+    """solve_edge_scales: per-edge log-scales from group-consistency depth
+    ratios (the chain_refresh ingredient that replaces the scale-drifted
+    chain baselines). Exact on clean synthetic ratios."""
+    from sfmfromscratch_tpu.pipeline.chain_refresh import solve_edge_scales
+
+    E, cap, C, T = 30, 50, 12, 200
+    edge_i = rng.integers(0, C - 1, E).astype(np.int32)
+    edge_j = (edge_i + 1 + rng.integers(0, 3, E)).clip(max=C - 1).astype(np.int32)
+    lam_true = np.exp(rng.normal(0, 0.5, E))
+    tid = rng.integers(0, T, (E, cap))
+    mask = rng.uniform(size=(E, cap)) > 0.2
+    d = np.exp(rng.normal(1.0, 0.3, (C, T)))        # true depth per (cam, track)
+    z1 = d[edge_i[:, None], tid] / lam_true[:, None]
+    z2 = d[edge_j[:, None], tid] / lam_true[:, None]
+    lam = solve_edge_scales(edge_i, edge_j, tid, mask, z1, z2, np.ones(E))
+    r = lam / lam_true
+    assert np.percentile(r, 90) / np.percentile(r, 10) < 1.01   # ratios exact
+    # ...and robust to a contaminated minority (heavy-tailed depths).
+    z1c = z1.copy()
+    z1c[::7] *= np.exp(rng.normal(0, 3.0, z1c[::7].shape))
+    lam_c = solve_edge_scales(edge_i, edge_j, tid, mask, z1c, z2, np.ones(E))
+    rc = lam_c / lam_true
+    assert np.percentile(rc, 90) / np.percentile(rc, 10) < 1.5
+
+
+def test_collect_edge_correspondences_join(rng):
+    """The (track, frame) searchsorted join returns exactly the co-observed
+    pairs within the span window."""
+    from sfmfromscratch_tpu.pipeline.chain_refresh import (
+        collect_edge_correspondences,
+    )
+
+    # track 0 seen in frames 0,1,2; track 1 in frames 1,3; track 2 in frame 0.
+    frames = np.array([0, 1, 2, 1, 3, 0])
+    tracks = np.array([0, 0, 0, 1, 1, 2])
+    xy = np.arange(12, dtype=np.float64).reshape(6, 2)
+    ei, ej, p1, p2, mask, tid = collect_edge_correspondences(
+        frames, tracks, xy, num_cams=4, max_span=2, cap=8, min_corr=1,
+    )
+    got = {(int(i), int(j), int(t))
+           for i, j, row in zip(ei, ej, tid)
+           for t in row[row >= 0]}
+    # expected: track0 pairs (0,1),(1,2),(0,2); track1 (1,3) span 2
+    assert got == {(0, 1, 0), (1, 2, 0), (0, 2, 0), (1, 3, 1)}
+
+
+@pytest.mark.slow
+def test_chain_refresh_de_bends_orbit(tmp_path):
+    """VERDICT r4 item 8 (resolved r5): the chain's sharpest accuracy cliff —
+    25% ATE on low-parallax orbits, a CONVERGED local minimum that windowed
+    local BA and longer LM provably do not escape (measured,
+    docs/PERFORMANCE.md) — drops to <3% via the motion-averaging refresh
+    (pipeline/chain_refresh.py) at a fraction of the global engine's wall."""
+    from tests.render import render_sequence, write_sequence
+    from sfmfromscratch_tpu.config import (
+        BundleAdjustConfig, ExtractorConfig, MatcherConfig, PipelineConfig,
+        RansacConfig,
+    )
+    from sfmfromscratch_tpu.pipeline.incremental import SfmEngine
+    from sfmfromscratch_tpu.utils.metrics import (
+        absolute_trajectory_error, camera_centers,
+    )
+
+    rng = np.random.default_rng(7)
+    N = 20
+    images, K, poses, X = render_sequence(
+        rng, num_views=N, num_points=300, img_hw=(360, 480), f=520.0,
+        orbit_step_deg=0.8,
+    )
+    d = tmp_path / "seq"
+    d.mkdir()
+    write_sequence(str(d), images)
+    cfg = PipelineConfig(
+        extractor=ExtractorConfig(
+            num_interest_points=600, ksize=3, gaussian_size=7, sigma=3.0,
+            alpha=0.05, feature_width=16, pyramid_level=2,
+            pyramid_scale_factor=1.2,
+        ),
+        matcher=MatcherConfig(ratio_threshold=0.85, max_matches=600),
+        ransac=RansacConfig(), ba=BundleAdjustConfig(), scale_factor=1.0,
+    )
+
+    def ate(eng):
+        rv = np.stack([r for r, _ in eng.global_poses])
+        ts = np.stack([t for _, t in eng.global_poses])
+        est = camera_centers(rv, ts)
+        gt = np.stack([-(R.T @ t) for R, t in poses[1: len(est) + 1]])
+        extent = float(np.linalg.norm(gt.max(0) - gt.min(0)))
+        return absolute_trajectory_error(est, gt) / extent
+
+    plain = SfmEngine(str(d), N, config=cfg, single_K=K)
+    fixed = SfmEngine(str(d), N, config=cfg, single_K=K,
+                      chain_refresh="averaging")
+    assert ate(plain) > 0.05          # the cliff is real on this fixture
+    assert ate(fixed) < 0.03          # ...and the refresh removes it
+    assert fixed.errors_before_after_ba[1] < 0.5
