@@ -119,6 +119,10 @@ def run_global(num_views, kp, step_deg, label, planes=False, **kw):
           f"reproj {eng.errors_before_after_ba[1]:.2f} px, "
           f"ATE {100 * ate / extent:.2f}% of extent, "
           f"{eng.map.num_tracks} tracks", flush=True)
+    print("  stages: " + ", ".join(
+        f"{k}={v:.1f}s" for k, v in sorted(
+            eng.stage_times.items(), key=lambda kv: -kv[1])), flush=True)
+    return eng
 
 
 def main():

@@ -87,6 +87,14 @@ def _pad_edges(a, num_padded: int, template=0.0):
     return jnp.concatenate([a, t], axis=0)
 
 
+# Batched Lie conversions: the engine previously called so3_log/so3_exp
+# EAGERLY once per camera in host loops; each eager call traces + lowers a
+# lax.switch and pays a tunnel fetch (~60-130 ms) — 585 calls = ~38 s of the
+# warm 300-view config-5 wall (round-5 cProfile). One vmapped jitted call
+# per batch removes the whole class.
+_so3_log_batch = jax.jit(jax.vmap(so3_log))
+
+
 _triangulate_multiview_jit = jax.jit(
     mm_f32(triangulate_multiview), static_argnames=("num_points", "gn_iters")
 )
@@ -1238,9 +1246,12 @@ class GlobalSfmEngine(SfmEngine):
                     self._obs_pt[m].astype(np.int64), self._obs_xy[m], c
                 )
         R = np.asarray(self.R_cams, np.float64)
+        rvecs = np.asarray(
+            jax.device_get(_so3_log_batch(jnp.asarray(R, jnp.float32))),
+            np.float64,
+        )
         for c in range(C):
-            rvec = np.asarray(so3_log(jnp.asarray(R[c], jnp.float32)), np.float64)
-            self.global_poses.append((rvec, self._t_cams[c]))
+            self.global_poses.append((rvecs[c], self._t_cams[c]))
             self.global_K.append(self._K_all[c])
 
     def _register_nonkeyframes(self, feats: Features) -> None:
@@ -1367,12 +1378,14 @@ class GlobalSfmEngine(SfmEngine):
             np.concatenate([p[i] for p in parts]) for i in range(4)
         )
 
+        rvecs_all = np.asarray(
+            jax.device_get(_so3_log_batch(jnp.asarray(R_np, jnp.float32))),
+            np.float64,
+        )
         for fi, f in enumerate(non_kf):
             cam = f - 1
             if bool(ok_np[fi]) and m_all[fi].sum() >= 6:
-                rvec = np.asarray(
-                    so3_log(jnp.asarray(R_np[fi], jnp.float32)), np.float64
-                )
+                rvec = rvecs_all[fi]
                 tv = np.asarray(t_np[fi], np.float64)
                 good = inl_np[fi] & m_all[fi]
                 self.map.add_observations(
@@ -1482,10 +1495,18 @@ class GlobalSfmEngine(SfmEngine):
 
         frames, tracks, xy = self.map.observations()
         pts = self.map.points()
+        rvs = np.stack([rv for rv, _ in self.global_poses])
+        Rs = np.asarray(
+            jax.device_get(
+                jax.jit(jax.vmap(_exp))(jnp.asarray(rvs, jnp.float32))
+            ),
+            np.float64,
+        )
         P = np.empty((len(self.global_poses), 3, 4))
         for c, (rv, t) in enumerate(self.global_poses):
-            R = np.asarray(_exp(jnp.asarray(rv, jnp.float32)), np.float64)
-            P[c] = self.global_K[c] @ np.concatenate([R, np.asarray(t)[:, None]], 1)
+            P[c] = self.global_K[c] @ np.concatenate(
+                [Rs[c], np.asarray(t)[:, None]], 1
+            )
         Po = P[frames]
         h = np.einsum("oij,oj->oi", Po[:, :, :3], pts[tracks]) + Po[:, :, 3]
         z = np.where(np.abs(h[:, 2]) < 1e-12, 1e-12, h[:, 2])
