@@ -152,6 +152,7 @@ def render_planes(
     tex_size: int = 512,
     orbit_radius: float = 7.0,
     layout: str = "box",
+    textures: str = "noise",
 ):
     """Perspective-correct synthetic scene: a room of textured PLANES rendered
     by ray-plane intersection + bilinear texture sampling, so appearance warps
@@ -167,10 +168,24 @@ def render_planes(
     K = np.array([[f, 0.0, W / 2], [0.0, f, H / 2], [0.0, 0.0, 1.0]])
     center = np.array([0.0, 0.0, 7.0])
 
+    real_tex = real_photo_texture(tex_size) if textures == "real" else None
+
     def smooth_texture():
-        # Blocky multi-scale noise: nearest-upsampled random grids give crisp
+        # textures="real": random flipped/rolled crops of a REAL photograph
+        # (real image statistics; see real_photo_texture).  Default: blocky
+        # multi-scale noise — nearest-upsampled random grids give crisp
         # corner-rich structure at ~4 and ~16 screen pixels — the scales the
         # Harris/SIFT frontend detects — instead of subpixel speckle.
+        if real_tex is not None:
+            t = np.roll(real_tex,
+                        (int(rng.integers(0, tex_size)),
+                         int(rng.integers(0, tex_size))), axis=(0, 1))
+            if rng.uniform() < 0.5:
+                t = t[:, ::-1]
+            if rng.uniform() < 0.5:
+                t = t[::-1]
+            return np.ascontiguousarray(t)
+
         def blocks(n):
             g = rng.uniform(0, 1, (n, n))
             r = tex_size // n
@@ -267,3 +282,93 @@ def render_planes(
             depth[hit] = s_[hit]
         images.append(img.reshape(H, W).astype(np.float32))
     return images, K, poses, None
+
+
+def real_photo_texture(tex_size: int = 512):
+    """A REAL photograph as plane texture (grayscale [0,1]), or None when the
+    environment has no real imagery.  matplotlib ships the classic Grace
+    Hopper portrait (a real photo with natural image statistics: skin/fabric
+    texture, JPEG block noise, smooth gradients — everything the synthetic
+    noise textures lack).  Used by ``render_planes(textures="real")`` for the
+    realism rung of the validation ladder (VERDICT r4 item 5: no multi-view
+    real dataset exists in this environment — verified by filesystem search —
+    so real TEXTURE under exact ray-traced geometry is the closest honest
+    substitute: real image statistics, known ground truth)."""
+    import os
+
+    candidates = []
+    try:
+        import matplotlib
+
+        candidates.append(os.path.join(
+            matplotlib.get_data_path(), "sample_data", "grace_hopper.jpg"))
+    except Exception:
+        pass
+    for path in candidates:
+        if os.path.isfile(path):
+            from PIL import Image
+
+            im = Image.open(path).convert("L")
+            im = im.resize((tex_size, tex_size), Image.BILINEAR)
+            return np.asarray(im, np.float32) / 255.0
+    return None
+
+
+def degrade_camera(
+    rng,
+    images,
+    k1: float = -0.08,
+    rs_shear: float = 3.0,
+    jpeg_quality: int = 60,
+):
+    """Camera-physics degradations on top of :func:`degrade_sequence`'s
+    photometric model (VERDICT r4 item 5, fallback half):
+
+    * radial distortion: resample through x_d = x_n (1 + k1 r^2) about the
+      image center (barrel for k1<0) — the pinhole K the pipeline assumes is
+      now wrong by up to several px at the corners,
+    * rolling shutter: rows are read out over time during a horizontal pan —
+      approximated by a row-dependent horizontal shift of up to ``rs_shear``
+      px top-to-bottom, alternating direction per frame (hand pan jitter),
+    * JPEG round trip at ``jpeg_quality`` (blocking + ringing artifacts).
+
+    Geometry ground truth is untouched; accuracy deltas under this model are
+    tabulated in docs/PARITY.md.
+    """
+    import io
+
+    from PIL import Image
+
+    out = []
+    for i, img in enumerate(images):
+        x = np.asarray(img, np.float32)
+        H, W = x.shape
+        yy, xx = np.meshgrid(np.arange(H, dtype=np.float64),
+                             np.arange(W, dtype=np.float64), indexing="ij")
+        cx, cy = W / 2.0, H / 2.0
+        f_norm = max(H, W) / 2.0
+        xn = (xx - cx) / f_norm
+        yn = (yy - cy) / f_norm
+        r2 = xn * xn + yn * yn
+        scale = 1.0 + k1 * r2
+        sx = cx + xn * scale * f_norm
+        sy = cy + yn * scale * f_norm
+        # rolling shutter: row-time horizontal shift
+        direction = 1.0 if i % 2 == 0 else -1.0
+        sx = sx + direction * rs_shear * (yy / max(H - 1, 1) - 0.5)
+        ix = np.clip(sx, 0, W - 1.001)
+        iy = np.clip(sy, 0, H - 1.001)
+        x0 = ix.astype(int); y0 = iy.astype(int)
+        dx = ix - x0; dy = iy - y0
+        warped = (x[y0, x0] * (1 - dx) * (1 - dy)
+                  + x[y0, x0 + 1] * dx * (1 - dy)
+                  + x[y0 + 1, x0] * (1 - dx) * dy
+                  + x[y0 + 1, x0 + 1] * dx * dy)
+        buf = io.BytesIO()
+        Image.fromarray(
+            (np.clip(warped, 0, 1) * 255).astype(np.uint8)
+        ).save(buf, format="JPEG", quality=jpeg_quality)
+        buf.seek(0)
+        dec = np.asarray(Image.open(buf), np.float32) / 255.0
+        out.append(dec)
+    return out
