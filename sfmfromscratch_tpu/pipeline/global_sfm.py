@@ -818,6 +818,47 @@ class GlobalSfmEngine(SfmEngine):
             parent[find(i - 1)] = find(j - 1)
         return len({find(c) for c in range(C)}) == 1
 
+    def _repair_connectivity(self, w_prev: np.ndarray, inl_prev, context: str) -> None:
+        """Edge dropping must NEVER disconnect the view graph: a component
+        cut off from camera 0 keeps identity poses (measured: the 47-view
+        4deg sprite orbit lands at 34% ATE when the cycle filter + rotation
+        gate between them sever the graph — worse than averaging over any
+        suspicious edge). Greedy spanning repair: restore the
+        highest-prior-weight zeroed edges that bridge components, at damped
+        weight (0.25x) so the robust IRLS stays skeptical of them."""
+        alive = np.asarray(self._edge_w) > 0
+        if self._connected(alive):
+            return
+        C = self.max_img
+        parent = np.arange(C)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for e in np.nonzero(alive)[0]:
+            i, j = self._edges[e]
+            parent[find(i - 1)] = find(j - 1)
+        cand = np.nonzero(~alive & (np.asarray(w_prev) > 0))[0]
+        cand = cand[np.argsort(-np.asarray(w_prev)[cand])]
+        restored = []
+        for e in cand:
+            i, j = self._edges[e]
+            ri, rj = find(i - 1), find(j - 1)
+            if ri != rj:
+                parent[ri] = rj
+                self._edge_w[e] = 0.25 * w_prev[e]
+                if inl_prev is not None:
+                    self._edge_inl[self._edges[e]] = inl_prev[self._edges[e]].copy()
+                restored.append(self._edges[e])
+        if restored:
+            self.warnings.append(
+                f"connectivity repair ({context}): restored damped edges "
+                + ", ".join(map(str, restored))
+            )
+
     @mm_f32
     def _motion_averaging(self) -> None:
         """Absolute rotations + camera centers from the view graph (both IRLS
@@ -833,6 +874,7 @@ class GlobalSfmEngine(SfmEngine):
         w_pre = np.asarray(self._edge_w, np.float64).copy()
         inl_pre = {k: self._edge_inl[k].copy() for k in self._edges}
         self._filter_edges_by_cycles()
+        self._repair_connectivity(w_pre, inl_pre, "cycle filter")
         ei = np.asarray([i - 1 for i, _ in self._edges], np.int32)
         ej = np.asarray([j - 1 for _, j in self._edges], np.int32)
         w = np.asarray(self._edge_w, np.float32)
@@ -969,6 +1011,17 @@ class GlobalSfmEngine(SfmEngine):
             w_j = _pad_edges(
                 jnp.asarray((w / max(w.max(), 1e-9)).astype(np.float32)), Eb
             )
+
+        # The rotation-inconsistency gate above may have severed the graph
+        # (absolute rotations exist for every camera by now, but a cut
+        # component loses ALL translation + track constraints): restore the
+        # best banned edges, damped, until connectivity holds.
+        self._repair_connectivity(w_pre, inl_pre, "rotation gate")
+        w = np.asarray(self._edge_w, np.float64)
+        nz = w > 0
+        w_j = _pad_edges(
+            jnp.asarray((w / max(w.max(), 1e-9)).astype(np.float32)), Eb
+        )
 
         # Re-estimate every edge's translation direction with the averaged
         # rotations held fixed — one batched eigh over all inlier constraint
