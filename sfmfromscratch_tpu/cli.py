@@ -49,6 +49,9 @@ def main(argv=None) -> int:
     rec.add_argument("--assoc-mode", choices=["index", "distance"], default="index")
     rec.add_argument("--pair-window", type=int, default=1,
                      help="match pairs (i, i+1..i+w); w>1 links multi-view tracks")
+    rec.add_argument("--chain-refresh", choices=["averaging"], default=None,
+                     help="post-chain pose refresh: motion averaging over the "
+                          "map's track correspondences (de-bends orbit drift)")
     rec.add_argument("--local-ba-every", type=int, default=None,
                      help="run windowed BA every N chain frames")
     rec.add_argument("--on-pose-failure", choices=["raise", "recover"], default="raise")
@@ -200,6 +203,7 @@ def main(argv=None) -> int:
                 on_pose_failure=args.on_pose_failure,
                 pair_cache_dir=args.pair_cache_dir,
                 refine_focal=args.refine_focal,
+                chain_refresh=args.chain_refresh,
             )
     if args.export_ply:
         eng.save_ply(args.export_ply)
