@@ -41,6 +41,14 @@ section): chain 24.75% ATE -> 0.67% after refresh -> 0.57% after final BA
 (reproj 0.16 px), refresh cost ~0.4 s warm on top of the 1.5 s chain —
 vs the global engine's 0.12% at ~100x the chain wall.  Enabled with
 ``SfmEngine(..., chain_refresh="averaging")``.
+
+Scope (measured, not assumed): this is an ORBIT/loop-drift remedy, not a
+universal default.  On a forward-dolly scene where the chain is already
+near-optimal, the refresh re-initializes from noisier span-limited two-view
+measurements and lands marginally WORSE (bench-style 10-view forward scene:
+ATE 0.57% plain vs 1.54% refreshed, ~2x wall) — leave it off for
+forward/exploratory trajectories, or use the global engine when trajectory
+class is unknown.
 """
 
 from __future__ import annotations

@@ -1377,10 +1377,13 @@ class GlobalSfmEngine(SfmEngine):
         t_all = np.full((F, M2), -1, np.int64)
         m_all = np.zeros((F, M2), bool)
         K_all = np.zeros((F, 3, 3), np.float32)
+        pairs_of_frame: Dict[int, list] = {}
+        for p in reg_pairs:
+            pairs_of_frame.setdefault(p[1], []).append(p)
         for fi, f in enumerate(non_kf):
             K_all[fi] = self._intrinsics(f)
             off = 0
-            for k in (p for p in reg_pairs if p[1] == f):
+            for k in pairs_of_frame.get(f, ()):
                 idx, inl, p2c = results[k]
                 tr = slot_track[k[0]][idx[:, 0]]
                 sel = inl & (tr >= 0)
@@ -1415,7 +1418,12 @@ class GlobalSfmEngine(SfmEngine):
         # frames per launch keeps temps ~2 GB; pow2 bucketing of the last
         # chunk reuses at most two compiled programs.
         CH = 128
-        parts = []
+        pending = []
+        # Dispatch EVERY chunk before fetching any: the fetch fence waits for
+        # that chunk's device compute, so a dispatch-fetch-dispatch loop
+        # serializes host prep against the device — enqueue the whole chunk
+        # train first and the device pipelines through it while the host is
+        # already blocked on chunk 0's bytes.
         for c0 in range(0, F, CH):
             n = min(CH, F - c0)
             B = _pow2_bucket(n, CH)
@@ -1424,9 +1432,11 @@ class GlobalSfmEngine(SfmEngine):
                 keys[sel], jnp.asarray(X_all[sel]), jnp.asarray(x_all[sel]),
                 jnp.asarray(K_all[sel]), jnp.asarray(m_all[sel]),
             )
-            parts.append(jax.device_get(
-                (out.R[:n], out.t[:n], out.inliers[:n], out.ok[:n])
-            ))
+            pending.append((n, out))
+        parts = [
+            jax.device_get((out.R[:n], out.t[:n], out.inliers[:n], out.ok[:n]))
+            for n, out in pending
+        ]
         R_np, t_np, inl_np, ok_np = (
             np.concatenate([p[i] for p in parts]) for i in range(4)
         )
