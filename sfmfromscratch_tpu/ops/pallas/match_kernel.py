@@ -28,6 +28,10 @@ from jax.experimental.pallas import tpu as pltpu
 # are tunnel-noise-bound (0.14-0.30 ms) and insensitive to TN beyond noise.
 _TM = int(os.environ.get("SFM_MATCH_TM", "256"))    # query tile rows
 _TN = int(os.environ.get("SFM_MATCH_TN", "2048"))   # database tile columns
+# Databases up to this size take the single-shot path: one full-row matmul +
+# one top-2 merge per query tile, no fori_loop carry (cur is (TM, n2) f32 =
+# 4 MB at the cap — comfortably VMEM-resident next to d2).
+_SINGLESHOT_MAX = int(os.environ.get("SFM_MATCH_SINGLESHOT", "4096"))
 
 
 def _match_kernel(d1_ref, d2_ref, n2sq_ref, dist1_ref, dist2_ref, idx_ref,
@@ -43,6 +47,27 @@ def _match_kernel(d1_ref, d2_ref, n2sq_ref, dist1_ref, dist2_ref, idx_ref,
     if bf16:
         d1 = d1.astype(jnp.bfloat16)
     big = jnp.float32(1e30)
+
+    if n2 <= _SINGLESHOT_MAX:
+        # Single-shot path (n2 fits one tile): one matmul over the full row
+        # and ONE top-2 merge — no fori_loop carry serializing the VPU merge
+        # against the MXU, and no running-merge bookkeeping at all.
+        d2 = d2_ref[0]
+        if bf16:
+            d2 = d2.astype(jnp.bfloat16)
+        cross = jax.lax.dot_general(
+            d1, d2, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # (TM, n2)
+        cur = n2sq_ref[0, 0][None, :] - 2.0 * cross
+        b1 = jnp.min(cur, axis=1)
+        i1 = jnp.argmin(cur, axis=1).astype(jnp.int32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (TM, n2), 1)
+        b2 = jnp.min(jnp.where(cols == i1[:, None], big, cur), axis=1)
+        dist1_ref[0, :, 0] = b1
+        dist2_ref[0, :, 0] = b2
+        idx_ref[0, :, 0] = i1
+        return
 
     def body(t, carry):
         b1, i1, b2 = carry
