@@ -104,11 +104,16 @@ def _selfcal_border_jacobian(base: BAProblem, p_s: BAProblem, r, s):
     return jnp.where((w > 0)[:, None], (proj - pp) / s * w[:, None], 0.0)
 
 
-def _solve_bordered(op, Js, Jc, Jp, r, lam, cg_iters, eta, red):
+def _solve_bordered(op, Js, Jc, Jp, r, lam, cg_iters, eta, red, cam_fixed):
     """Bordered Schur solve for the selfcal system (points already
     eliminated): two PCG solves on the same psum-per-matvec operator, then
     the 1-D border back-substitution.  ``red`` reduces cross-observation sums
-    (identity or psum); the border blocks reduce exactly like U/V/W."""
+    (identity or psum); the border blocks reduce exactly like U/V/W.
+
+    ``cam_fixed`` zeroes frozen cameras' steps BEFORE the point
+    back-substitution (the pre-unification ba/selfcal.py ordering: points
+    must back-substitute the camera step that is actually applied, not a
+    discarded one)."""
     C = op.U.shape[0]
     Pn = op.Vinv.shape[0]
     eps = 1e-8
@@ -146,6 +151,7 @@ def _solve_bordered(op, Js, Jc, Jp, r, lam, cg_iters, eta, red):
         jnp.abs(denom) < 1e-12, 1e-12, denom
     )
     dc = (u - ds * v).reshape(C, 6)
+    dc = jnp.where(cam_fixed[:, None], 0.0, dc)
     dp = back_substitute_points(op, dc, reduce_fn=red) - ds * VinvWsp
     return dc, dp, ds
 
@@ -215,7 +221,7 @@ def lm_run(
         )
         if selfcal:
             dc, dp, ds = _solve_bordered(
-                op, Js, Jc, Jp, r, lam, cg_iters, eta, red
+                op, Js, Jc, Jp, r, lam, cg_iters, eta, red, base.cam_fixed
             )
         elif use_dense:
             dc, dp = solve_schur_dense(op, reduce_fn=red)

@@ -234,7 +234,15 @@ def solve_edge_scales(
     )
     x = np.asarray(jax.device_get(lam), np.float64)
     x = x - x.mean() + np.log(np.maximum(lam_init, 1e-9)).mean()
-    return np.exp(x).astype(np.float32)
+    out = np.exp(x).astype(np.float32)
+    # An edge with NO usable depth measurement (every z failed the
+    # positivity/finiteness filter — near-zero-parallax pair) sits in the
+    # solve's null space and would land at the scene-MEAN scale, an
+    # arbitrary constraint for exactly the short-baseline edges this
+    # happens to.  Fall back to that edge's init scale instead.
+    nconstr = np.bincount(eidx_f, minlength=E)
+    out[nconstr == 0] = np.asarray(lam_init, np.float32)[nconstr == 0]
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("E", "G", "irls_rounds"))
@@ -364,6 +372,27 @@ def averaging_refresh(
     if E < C - 1:
         eng.warnings.append(
             f"chain_refresh: only {E} usable edges for {C} cameras; skipped"
+        )
+        return
+    # Connectivity guard: E >= C-1 does NOT imply connected (a blurred frame
+    # boundary can leave dense edges on both sides and none across).  A cut
+    # component would get a free gauge from the averaging Laplacian and the
+    # refresh would overwrite a valid chain with two inconsistent fragments —
+    # keep the chain instead.
+    parent = np.arange(C)
+
+    def _find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(edge_i, edge_j):
+        parent[_find(a)] = _find(b)
+    if len({_find(c) for c in range(C)}) > 1:
+        eng.warnings.append(
+            "chain_refresh: track-derived edge graph is disconnected; "
+            "keeping the chain solution"
         )
         return
 

@@ -416,7 +416,10 @@ class SfmEngine:
         # chain drift on low-parallax orbits, where the bent chain is a
         # CONVERGED local minimum that neither windowed local BA nor more LM
         # iterations can escape (round-5 experiments, docs/PERFORMANCE.md).
-        assert chain_refresh in (None, "averaging")
+        if chain_refresh not in (None, "averaging"):
+            raise ValueError(
+                f"chain_refresh must be None or 'averaging', got {chain_refresh!r}"
+            )
         self.chain_refresh = chain_refresh
         # Extractor strategy slot (reference feature_extractor_class,
         # Runner.py:129-130): any callable (image_bw) -> Features with the

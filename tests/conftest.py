@@ -33,18 +33,34 @@ import pytest
 # Raise the kernel mmap ceiling when we can (container runs as root): every
 # XLA:CPU executable holds ~18 mappings and the default 65530 ceiling forces
 # the _xla_map_guard below to jax.clear_caches() mid-suite, recompiling every
-# shared program afterwards (~tens of seconds per dump).  Best-effort: the
-# guard remains the fallback when the sysctl is not writable.
+# shared program afterwards (~tens of seconds per dump).  Best-effort and
+# POLITE: the original value is restored at interpreter exit (the setting is
+# host-wide; co-located workloads must not inherit our tuning), and
+# SFM_NO_SYSCTL=1 opts out entirely.  The guard remains the fallback when
+# the sysctl is not writable.
 _MAP_GUARD_THRESHOLD = 40_000
-try:
-    with open("/proc/sys/vm/max_map_count", "r+") as _f:
-        if int(_f.read()) < 262_144:
-            _f.seek(0)
-            _f.write("262144")
-    with open("/proc/sys/vm/max_map_count") as _f:
-        _MAP_GUARD_THRESHOLD = int(int(_f.read()) * 0.6)
-except OSError:
-    pass
+if not os.environ.get("SFM_NO_SYSCTL"):
+    try:
+        with open("/proc/sys/vm/max_map_count", "r+") as _f:
+            _old_map_count = int(_f.read())
+            if _old_map_count < 262_144:
+                _f.seek(0)
+                _f.write("262144")
+
+                import atexit
+
+                def _restore_map_count(old=_old_map_count):
+                    try:
+                        with open("/proc/sys/vm/max_map_count", "w") as f:
+                            f.write(str(old))
+                    except OSError:
+                        pass
+
+                atexit.register(_restore_map_count)
+        with open("/proc/sys/vm/max_map_count") as _f:
+            _MAP_GUARD_THRESHOLD = int(int(_f.read()) * 0.6)
+    except OSError:
+        pass
 
 
 @pytest.fixture(autouse=True)
