@@ -283,6 +283,26 @@ def harris_response_pallas_tiled(
     return run(image)
 
 
+def _tiled_tile_rows(W: int, gaussian_size: int) -> int:
+    """Width-aware tile height for the tiled kernel: ~10 live (THp, Wp) f32
+    slabs coexist per grid step (2 DMA scratch slots + ~7 conv-chain
+    temporaries + the output block), so THp must shrink as rows widen or the
+    kernel exceeds VMEM at multi-megapixel widths (review r5: at Wp=4096 the
+    fixed 128-row tile needs ~22 MB).  Returns 0 when even the minimum tile
+    does not fit (caller falls back to XLA)."""
+    Wp = _round_up(W, 128)
+    halo = gaussian_size // 2 + 1
+    # Mosaic's scoped-VMEM accounting for this kernel measures ~12 live
+    # (THp, Wp) slabs (chip error report at Wp=4096/tile=72: 17.4 MB) —
+    # the conv-chain temporaries are not buffer-shared across the unrolled
+    # shifts.  Budget 16 slabs of margin against a 14 MB target.
+    thp_max = (14 * 1024 * 1024) // (16 * 4 * Wp)
+    tile = (thp_max - 2 * halo) // 8 * 8
+    if tile < 16:
+        return 0
+    return min(tile, 128)
+
+
 def harris_response_fused(
     image: jax.Array, gaussian_size: int, sigma, alpha, interpret: bool = False
 ) -> jax.Array:
@@ -290,9 +310,11 @@ def harris_response_fused(
     row-tiled halo-DMA kernel beyond that (XLA only as the last resort)."""
     H, W = image.shape
     if H * W * 4 * 8 > _VMEM_BUDGET_BYTES:
-        if interpret or H * W <= 4096 * 4096:
+        tile = _tiled_tile_rows(W, gaussian_size)
+        if interpret or (H * W <= 4096 * 4096 and tile):
             return harris_response_pallas_tiled(
-                image, gaussian_size, sigma, alpha, interpret=interpret
+                image, gaussian_size, sigma, alpha, interpret=interpret,
+                tile_rows=tile or 64,
             )
         return harris_response_xla(image, gaussian_size, sigma, alpha)
     return harris_response_pallas(image, gaussian_size, sigma, alpha, interpret=interpret)

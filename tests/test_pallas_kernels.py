@@ -124,3 +124,18 @@ def test_harris_tiled_vmap_batched():
                                                 interpret=True, tile_rows=64)
     )(imgs))
     np.testing.assert_allclose(got, ref, atol=1e-5 * np.abs(ref).max())
+
+
+def test_tiled_tile_rows_width_aware():
+    """VMEM gate for the tiled Harris kernel: tile height shrinks as rows
+    widen (review r5: a fixed 128-row tile OOMs scoped VMEM at 4096-wide),
+    and infeasible widths return 0 (caller falls back to XLA)."""
+    from sfmfromscratch_tpu.ops.pallas.harris_kernel import _tiled_tile_rows
+
+    assert _tiled_tile_rows(1280, 7) == 128
+    t4k = _tiled_tile_rows(4096, 7)
+    assert 16 <= t4k < 128
+    # budget check: 16 slabs of (tile + 2*halo, Wp) f32 stay under 14 MB
+    halo = 7 // 2 + 1
+    assert 16 * (t4k + 2 * halo) * 4096 * 4 <= 14 * 1024 * 1024 + 16 * 2 * halo * 4096 * 4
+    assert _tiled_tile_rows(200_000, 7) == 0
