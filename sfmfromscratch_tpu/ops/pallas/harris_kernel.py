@@ -236,7 +236,7 @@ def _harris_tiled_batched(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, TH, Wp), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
